@@ -1,0 +1,37 @@
+"""Global configuration: enable float64, choose default device behavior."""
+
+import os
+
+_initialized = False
+
+
+def initialize() -> None:
+    """Idempotent global JAX configuration.
+
+    The whole framework computes in float64: the correctness gate is 1e-5 eV
+    agreement on excitation energies, which requires f64 SCF and response
+    algebra (the reference runs numpy/scipy f64 throughout).
+    """
+    global _initialized
+    if _initialized:
+        return
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    _initialized = True
+
+
+def host_device_count() -> int:
+    """Number of local JAX devices (virtual CPU devices under test config)."""
+    import jax
+
+    return len(jax.devices())
+
+
+def is_tpu() -> bool:
+    import jax
+
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:  # pragma: no cover - no devices at all
+        return False
