@@ -18,6 +18,12 @@ def initialize() -> None:
     import jax
 
     jax.config.update("jax_enable_x64", True)
+    # The hosting image force-registers a TPU ("axon") backend via
+    # sitecustomize and pins JAX_PLATFORMS; XTDDFT_PLATFORM provides a
+    # reliable escape hatch (tests run on a virtual CPU mesh).
+    platform = os.environ.get("XTDDFT_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
     _initialized = True
 
 

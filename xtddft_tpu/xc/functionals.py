@@ -1,0 +1,230 @@
+"""Exchange-correlation energy densities in JAX.
+
+Replaces libxc.  Every functional is expressed as an energy density
+``e(rho_a, rho_b, gamma_aa, gamma_ab, gamma_bb)`` (energy per volume);
+first/second derivatives (vxc, fxc responses) are obtained by JAX autodiff
+in `xc/interface.py` — no hand-coded derivative tables.
+
+Implemented: Slater exchange, VWN5 and VWN3(RPA) correlation, PW92
+correlation, B88 exchange, LYP correlation, PBE exchange/correlation.
+Composites (B3LYP, BHandHLYP, PBE0, ...) are declared in `xc/registry.py`.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+TINY_RHO = 1e-15
+
+
+def _safe_rho(rho):
+    return jnp.maximum(rho, TINY_RHO)
+
+
+# ---------------------------------------------------------------- exchange
+
+_CX = (3.0 / 4.0) * (6.0 / jnp.pi) ** (1.0 / 3.0)
+
+
+def slater_x(ra, rb, gaa, gab, gbb):
+    ra = _safe_rho(ra)
+    rb = _safe_rho(rb)
+    return -_CX * (ra ** (4.0 / 3.0) + rb ** (4.0 / 3.0))
+
+
+_B88_BETA = 0.0042
+
+
+def _b88_spin(r, g):
+    r = _safe_rho(r)
+    r43 = r ** (4.0 / 3.0)
+    x = jnp.sqrt(jnp.maximum(g, 0.0) + 1e-300) / r43
+    denom = 1.0 + 6.0 * _B88_BETA * x * jnp.arcsinh(x)
+    return -_CX * r43 - _B88_BETA * r43 * x * x / denom
+
+
+def b88_x(ra, rb, gaa, gab, gbb):
+    """B88 exchange including the LDA part."""
+    return _b88_spin(ra, gaa) + _b88_spin(rb, gbb)
+
+
+def b88_x_gradient_correction(ra, rb, gaa, gab, gbb):
+    """Only the gradient-correction part of B88 (for B3LYP mixing)."""
+    return b88_x(ra, rb, gaa, gab, gbb) - slater_x(ra, rb, gaa, gab, gbb)
+
+
+_PBE_KAPPA = 0.8040
+_PBE_MU = 0.2195149727645171
+
+
+def _pbe_x_spin(r, g):
+    r = _safe_rho(r)
+    # spin scaling: e_x(r, g) = 0.5 * e_x_unpolarized(2r, 4g)
+    rho = 2.0 * r
+    grho2 = 4.0 * jnp.maximum(g, 0.0)
+    kf = (3.0 * jnp.pi**2 * rho) ** (1.0 / 3.0)
+    ex_unif = -(3.0 / (4.0 * jnp.pi)) * kf * rho
+    s2 = grho2 / (4.0 * kf**2 * rho**2)
+    F = 1.0 + _PBE_KAPPA - _PBE_KAPPA / (1.0 + _PBE_MU * s2 / _PBE_KAPPA)
+    return 0.5 * ex_unif * F
+
+
+def pbe_x(ra, rb, gaa, gab, gbb):
+    return _pbe_x_spin(ra, gaa) + _pbe_x_spin(rb, gbb)
+
+
+# ------------------------------------------------------------- correlation
+
+def _vwn_F(x, A, b, c, x0):
+    X = x * x + b * x + c
+    X0 = x0 * x0 + b * x0 + c
+    Q = jnp.sqrt(4.0 * c - b * b)
+    atn = jnp.arctan(Q / (2.0 * x + b))
+    return A * (
+        jnp.log(x * x / X)
+        + 2.0 * b / Q * atn
+        - b * x0 / X0 * (jnp.log((x - x0) ** 2 / X) + 2.0 * (b + 2.0 * x0) / Q * atn)
+    )
+
+
+_VWN5 = {
+    "P": (0.0310907, 3.72744, 12.9352, -0.10498),
+    "F": (0.01554535, 7.06042, 18.0578, -0.32500),
+    "A": (-1.0 / (6.0 * jnp.pi**2), 1.13107, 13.0045, -0.00475840),
+}
+_VWN3 = {
+    "P": (0.0310907, 13.0720, 42.7198, -0.409286),
+    "F": (0.01554535, 20.1231, 101.578, -0.743294),
+    "A": (-1.0 / (6.0 * jnp.pi**2), 1.06835, 11.4813, -0.228344),
+}
+
+_FZ_DEN = 2.0 * (2.0 ** (1.0 / 3.0) - 1.0)
+_FPP0 = 4.0 / (9.0 * (2.0 ** (1.0 / 3.0) - 1.0))
+
+
+def _spin_f(zeta):
+    return ((1.0 + zeta) ** (4.0 / 3.0) + (1.0 - zeta) ** (4.0 / 3.0) - 2.0) / _FZ_DEN
+
+
+def _vwn_eps(rho, zeta, params):
+    rs = (3.0 / (4.0 * jnp.pi * rho)) ** (1.0 / 3.0)
+    x = jnp.sqrt(rs)
+    eP = _vwn_F(x, *params["P"])
+    eF = _vwn_F(x, *params["F"])
+    eA = _vwn_F(x, *params["A"])
+    f = _spin_f(zeta)
+    z4 = zeta**4
+    return eP + eA * f / _FPP0 * (1.0 - z4) + (eF - eP) * f * z4
+
+
+def vwn5_c(ra, rb, gaa, gab, gbb):
+    ra = _safe_rho(ra)
+    rb = _safe_rho(rb)
+    rho = ra + rb
+    zeta = jnp.clip((ra - rb) / rho, -1.0 + 1e-15, 1.0 - 1e-15)
+    return rho * _vwn_eps(rho, zeta, _VWN5)
+
+
+def vwn3_c(ra, rb, gaa, gab, gbb):
+    ra = _safe_rho(ra)
+    rb = _safe_rho(rb)
+    rho = ra + rb
+    zeta = jnp.clip((ra - rb) / rho, -1.0 + 1e-15, 1.0 - 1e-15)
+    return rho * _vwn_eps(rho, zeta, _VWN3)
+
+
+def _pw92_G(rs, A, a1, b1, b2, b3, b4):
+    srs = jnp.sqrt(rs)
+    den = 2.0 * A * (b1 * srs + b2 * rs + b3 * rs * srs + b4 * rs * rs)
+    return -2.0 * A * (1.0 + a1 * rs) * jnp.log(1.0 + 1.0 / den)
+
+
+def _pw92_eps(rho, zeta):
+    rs = (3.0 / (4.0 * jnp.pi * rho)) ** (1.0 / 3.0)
+    e0 = _pw92_G(rs, 0.031091, 0.21370, 7.5957, 3.5876, 1.6382, 0.49294)
+    e1 = _pw92_G(rs, 0.015545, 0.20548, 14.1189, 6.1977, 3.3662, 0.62517)
+    mac = _pw92_G(rs, 0.016887, 0.11125, 10.357, 3.6231, 0.88026, 0.49671)
+    f = _spin_f(zeta)
+    z4 = zeta**4
+    return e0 - mac * f / _FPP0 * (1.0 - z4) + (e1 - e0) * f * z4
+
+
+def pw92_c(ra, rb, gaa, gab, gbb):
+    ra = _safe_rho(ra)
+    rb = _safe_rho(rb)
+    rho = ra + rb
+    zeta = jnp.clip((ra - rb) / rho, -1.0 + 1e-15, 1.0 - 1e-15)
+    return rho * _pw92_eps(rho, zeta)
+
+
+_LYP_A = 0.04918
+_LYP_B = 0.132
+_LYP_C = 0.2533
+_LYP_D = 0.349
+_CF = 0.3 * (3.0 * jnp.pi**2) ** (2.0 / 3.0)
+
+
+def lyp_c(ra, rb, gaa, gab, gbb):
+    ra = _safe_rho(ra)
+    rb = _safe_rho(rb)
+    rho = ra + rb
+    gtot = gaa + gbb + 2.0 * gab
+    rm13 = rho ** (-1.0 / 3.0)
+    denom = 1.0 + _LYP_D * rm13
+    omega = jnp.exp(-_LYP_C * rm13) / denom * rho ** (-11.0 / 3.0)
+    delta = _LYP_C * rm13 + _LYP_D * rm13 / denom
+    t1 = -4.0 * _LYP_A / denom * ra * rb / rho
+    inner = (
+        2.0 ** (11.0 / 3.0) * _CF * (ra ** (8.0 / 3.0) + rb ** (8.0 / 3.0))
+        + (47.0 / 18.0 - 7.0 * delta / 18.0) * gtot
+        - (5.0 / 2.0 - delta / 18.0) * (gaa + gbb)
+        - (delta - 11.0) / 9.0 * (ra / rho * gaa + rb / rho * gbb)
+    )
+    t2 = (
+        ra * rb * inner
+        - (2.0 / 3.0) * rho**2 * gtot
+        + ((2.0 / 3.0) * rho**2 - ra**2) * gbb
+        + ((2.0 / 3.0) * rho**2 - rb**2) * gaa
+    )
+    return t1 - _LYP_A * _LYP_B * omega * t2
+
+
+_PBE_GAMMA = (1.0 - jnp.log(2.0)) / jnp.pi**2
+_PBE_BETA = 0.06672455060314922
+
+
+def pbe_c(ra, rb, gaa, gab, gbb):
+    ra = _safe_rho(ra)
+    rb = _safe_rho(rb)
+    rho = ra + rb
+    zeta = jnp.clip((ra - rb) / rho, -1.0 + 1e-15, 1.0 - 1e-15)
+    eps = _pw92_eps(rho, zeta)
+    phi = 0.5 * ((1.0 + zeta) ** (2.0 / 3.0) + (1.0 - zeta) ** (2.0 / 3.0))
+    kf = (3.0 * jnp.pi**2 * rho) ** (1.0 / 3.0)
+    ks = jnp.sqrt(4.0 * kf / jnp.pi)
+    gtot = jnp.maximum(gaa + gbb + 2.0 * gab, 0.0)
+    t2 = gtot / (2.0 * phi * ks * rho) ** 2
+    expo = jnp.exp(-eps / (_PBE_GAMMA * phi**3))
+    A = _PBE_BETA / _PBE_GAMMA / jnp.maximum(expo - 1.0, 1e-30)
+    num = 1.0 + A * t2
+    den = 1.0 + A * t2 + A * A * t2 * t2
+    H = (
+        _PBE_GAMMA
+        * phi**3
+        * jnp.log(1.0 + _PBE_BETA / _PBE_GAMMA * t2 * num / den)
+    )
+    return rho * (eps + H)
+
+
+FUNCTIONALS = {
+    "slater": slater_x,
+    "b88": b88_x,
+    "b88_gc": b88_x_gradient_correction,
+    "pbe_x": pbe_x,
+    "vwn5": vwn5_c,
+    "vwn3": vwn3_c,
+    "vwn_rpa": vwn3_c,
+    "pw92": pw92_c,
+    "lyp": lyp_c,
+    "pbe_c": pbe_c,
+}
