@@ -1,0 +1,99 @@
+"""Integral engine tests: analytic anchors + internal consistency."""
+
+import numpy as np
+import pytest
+
+from xtddft_tpu.chem import Molecule
+from xtddft_tpu.grids import build_grid, eval_ao
+from xtddft_tpu.ints import (
+    build_layout,
+    overlap,
+    kinetic,
+    nuclear_attraction,
+    dipole,
+    ip_overlap,
+    eri_full,
+    eri_2c,
+    eri_3c,
+)
+
+
+@pytest.fixture(scope="module")
+def h2():
+    mol = Molecule.from_atoms("H 0 0 0; H 0 0 1.4", basis="sto-3g", unit="bohr")
+    return mol, build_layout(mol)
+
+
+def test_szabo_ostlund_values(h2):
+    """Textbook H2/STO-3G integrals (Szabo & Ostlund tables 3.5/3.6)."""
+    _, L = h2
+    S = overlap(L)
+    T = kinetic(L)
+    eri = eri_full(L)
+    assert abs(S[0, 1] - 0.6593) < 2e-4
+    assert abs(T[0, 0] - 0.7600) < 2e-4
+    assert abs(eri[0, 0, 0, 0] - 0.7746) < 2e-4
+    assert abs(eri[0, 0, 1, 1] - 0.5697) < 2e-4
+    assert abs(eri[0, 1, 0, 1] - 0.2970) < 2e-4
+    assert abs(eri[0, 0, 0, 1] - 0.4441) < 2e-4
+
+
+def test_normalization_all_l():
+    """Diagonal overlaps are exactly 1 for s/p/d shells (cc-pVDZ has d)."""
+    mol = Molecule.from_atoms("O 0 0 0", basis="cc-pvdz")
+    L = build_layout(mol)
+    S = overlap(L)
+    assert np.allclose(np.diag(S), 1.0, atol=1e-12)
+
+
+def test_eri_symmetry():
+    mol = Molecule.from_atoms("O 0 0 0.2; H 0 0.1 -0.7", basis="sto-3g", spin=1)
+    L = build_layout(mol)
+    eri = eri_full(L)
+    assert np.allclose(eri, eri.transpose(1, 0, 2, 3), atol=1e-12)
+    assert np.allclose(eri, eri.transpose(0, 1, 3, 2), atol=1e-12)
+    assert np.allclose(eri, eri.transpose(2, 3, 0, 1), atol=1e-12)
+    # PSD as a pair-space matrix
+    n = L.nao
+    w = np.linalg.eigvalsh(eri.reshape(n * n, n * n))
+    assert w.min() > -1e-10
+
+
+def test_quadrature_consistency():
+    """Analytic S, dipole and ip_ovlp match numerical grid quadrature."""
+    mol = Molecule.from_atoms("N 0 0 0; H 0 0.9 0.2", basis="sto-3g", spin=1)
+    L = build_layout(mol)
+    g = build_grid(mol, level=2)
+    ao = eval_ao(L, g.coords, deriv=1)
+    S_num = np.einsum("g,gi,gj->ij", g.weights, ao[0], ao[0])
+    assert np.abs(S_num - overlap(L)).max() < 2e-5
+    ip_num = np.einsum("g,xgi,gj->xij", g.weights, ao[1:4], ao[0])
+    assert np.abs(ip_num - ip_overlap(L)).max() < 2e-5
+    r_num = np.einsum("g,gi,gd,gj->dij", g.weights, ao[0], g.coords, ao[0])
+    assert np.abs(r_num - dipole(L)).max() < 2e-5
+
+
+def test_df_vs_exact_jk():
+    """3c/2c integrals give a density-fitted J close to the exact J."""
+    from xtddft_tpu.ints.autoaux import autoaux_layout
+
+    mol = Molecule.from_atoms("O 0 0 0.2; H 0 0.5 -0.5", basis="sto-3g", spin=1)
+    L = build_layout(mol)
+    aux = autoaux_layout(mol)
+    eri = eri_full(L)
+    j3 = eri_3c(L, aux)
+    j2 = eri_2c(aux)
+    rng = np.random.default_rng(0)
+    D = rng.normal(size=(L.nao, L.nao))
+    D = D + D.T
+    J_exact = np.einsum("pqrs,sr->pq", eri, D)
+    b = np.einsum("Ppq,qp->P", j3, D)
+    c = np.linalg.solve(j2, b)
+    J_df = np.einsum("Ppq,P->pq", j3, c)
+    assert np.abs(J_df - J_exact).max() < 5e-3
+    # K similarly approximated
+    K_exact = np.einsum("prsq,rs->pq", eri, D)
+    V = np.linalg.cholesky(np.linalg.inv(j2))
+    B = np.einsum("Ppq,PQ->Qpq", j3, V)
+    K_df = np.einsum("Qpr,rs,Qsq->pq", B, D, B)
+    assert np.abs(K_df - K_exact).max() < 2e-2

@@ -1,0 +1,48 @@
+"""SCF anchors: analytic/textbook energies and internal consistency."""
+
+import numpy as np
+import pytest
+
+from xtddft_tpu.chem import Molecule
+from xtddft_tpu.scf import RHF, UHF, ROHF
+
+
+def test_h2_rhf(h2_rhf):
+    assert abs(h2_rhf.e_tot - (-1.1167143)) < 1e-5
+    assert h2_rhf.converged
+
+
+def test_h_atom_uhf():
+    mol = Molecule.from_atoms("H 0 0 0", basis="6-31g", spin=1)
+    r = UHF(mol).kernel()
+    assert abs(r.e_tot - (-0.498233)) < 1e-6
+
+
+def test_he_rhf():
+    mol = Molecule.from_atoms("He 0 0 0", basis="sto-3g")
+    r = RHF(mol).kernel()
+    assert abs(r.e_tot - (-2.8077836)) < 1e-5
+
+
+def test_rohf_fock_commutes(fh_roks):
+    """Converged ROKS: occupied/virtual Fock blocks vanish per spin."""
+    r = fh_roks
+    C = r.mo_coeff
+    na = int((r.mo_occ >= 1).sum())
+    fa_mo = C.T @ r.fock_a @ C
+    fb_mo = C.T @ r.fock_b @ C
+    nb = int((r.mo_occ >= 2).sum())
+    # Roothaan conditions: closed-virtual blocks of the averaged Fock vanish
+    fc = 0.5 * (fa_mo + fb_mo)
+    assert np.abs(fc[:nb, na:]).max() < 1e-5
+    assert np.abs(fb_mo[:nb, nb:na]).max() < 1e-5  # closed-open via F_beta
+    assert np.abs(fa_mo[nb:na, na:]).max() < 1e-5  # open-virtual via F_alpha
+
+
+def test_spin_square_uks():
+    mol = Molecule.from_atoms("F 0 0 0; H 0 0 1.0", basis="6-31g", spin=2)
+    from xtddft_tpu.scf import UKS
+
+    r = UKS(mol, xc="bhandhlyp", grid_level=1).kernel()
+    ss, mult = r.spin_square()
+    assert abs(ss - 2.0) < 0.05

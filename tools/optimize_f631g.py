@@ -110,9 +110,8 @@ def main():
         except Exception:
             return 0.0
 
-    res = minimize(obj, x0, method="Nelder-Mead",
-                   options={"maxiter": 6000, "xatol": 1e-6, "fatol": 1e-9,
-                            "adaptive": True})
+    res = minimize(obj, x0, method="L-BFGS-B",
+                   options={"maxiter": 200, "ftol": 1e-13, "gtol": 1e-9})
     print("final E:", res.fun)
     F = build_F(res.x)
     print("optimized F 6-31G:")
