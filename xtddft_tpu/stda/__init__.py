@@ -1,0 +1,9 @@
+"""Simplified TDA (sTDA) fast path: monopole-approximation X-TDA/UTDA.
+
+Replaces `xtddft/sTDA/` (reference): `STDA` is the `OSsTDA` equivalent.
+"""
+
+from xtddft_tpu.stda.driver import STDA
+from xtddft_tpu.stda.core import gamma_jk, lowdin_charges
+
+__all__ = ["STDA", "gamma_jk", "lowdin_charges"]

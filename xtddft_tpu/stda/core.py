@@ -1,0 +1,462 @@
+"""Simplified-TDA (sTDA) engine: monopole gamma kernels, Löwdin transition
+charges, CSF selection, and batched A-matrix assembly.
+
+Re-derives the math of the reference's `xtddft/sTDA/os_sTDA.py` with a
+TPU-first layout: where the reference assembles the truncated A matrix with
+per-row joblib thread loops (`os_sTDA.py:1056-1222`) and selects secondary
+CSFs with a generator-reduced row sum (`os_sTDA.py:762-793`), here every
+coupling block is a pair of dense matmuls over the atom axis
+
+    K[p,q]  =  sum_AB qk[A,p] gammaK[A,B] qk[B,q]
+
+so the whole assembly is a handful of MXU-shaped contractions; only the
+data-dependent index selection stays on host.
+
+Physics (`os_sTDA.py`):
+- gamma kernels: Mataga–Nishimoto-like atom-pair Coulomb/exchange
+  interactions with 'os' (open-shell) or 'cs' (Grimme closed-shell)
+  parameterizations (`os_sTDA.py:408-433`)
+- Löwdin monopole transition charges q^A_pq from S^(1/2) C
+  (`os_sTDA.py:637-670`)
+- excitation space CV(aa)|OV(aa)|CO(bb)|CV(bb), exchange-type K coupling
+  everywhere, Coulomb-type J coupling only between same-spin CSFs
+  (`os_sTDA.py:1100-1230`)
+- spin-adapted corrections from the HF-flavored (ROHF-veff-on-DFT-density)
+  Fock pair with the XTDA S-dependent factors.  NOTE: for the CV(aa)-CV(bb)
+  cross term the reference's sTDA adds the correction with a + sign
+  (`os_sTDA.py:106-115`) while its own XTDA subtracts it
+  (`xtddft/XTDA.py:324-331`); the XTDA sign is the derived one and is used
+  here for consistency across methods.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from xtddft_tpu import units
+from xtddft_tpu.response.reference_state import Reference
+from xtddft_tpu.stda.hardness import eta_per_atom
+
+BLOCKS = ("cva", "ova", "cob", "cvb")
+
+
+# --------------------------------------------------------------------- gamma
+
+def gamma_jk(mol, hyb: float, paramtype: str = "os"):
+    """Atom-pair Coulomb (gJ) and exchange (gK) kernels, (natm, natm), in
+    hartree (`os_sTDA.py:408-433`)."""
+    r = mol.coords
+    R = np.linalg.norm(r[:, None, :] - r[None, :, :], axis=-1)
+    # per-element hardness: 2*eta/ha2eV, pair-averaged (stda convention)
+    eta = 2.0 * eta_per_atom(mol.symbols) / units.HA2EV
+    eta_pair = 0.5 * (eta[:, None] + eta[None, :])
+    if paramtype == "cs":
+        beta = 0.20 + hyb * 1.83
+        gj = (1.0 / (R**beta + (hyb * eta_pair) ** (-beta))) ** (1.0 / beta)
+    elif paramtype == "os":
+        beta = hyb + 0.3
+        gj = (1.0 / (R**beta + (1.4 * hyb * eta_pair) ** (-beta))) ** (1.0 / beta)
+    else:
+        raise ValueError(f"unknown paramtype {paramtype!r}")
+    alpha = 1.42 + hyb * 0.48
+    gk = (1.0 / (R**alpha + eta_pair ** (-alpha))) ** (1.0 / alpha)
+    return gj, gk
+
+
+# ------------------------------------------------------------------- charges
+
+def lowdin_charges(env, C_occ, C_vir):
+    """Löwdin monopole charges per atom: qk[A,i,a], qj_oo[A,i,j],
+    qj_vv[A,a,b] from C' = S^(1/2) C (`os_sTDA.py:637-670`)."""
+    S = np.asarray(env.S)
+    w, U = np.linalg.eigh(S)
+    S_half = (U * np.sqrt(w)) @ U.T
+    natm = env.mol.natm
+    ao_atoms = env.layout.ao_atoms
+    M = np.zeros((natm, env.nao))
+    M[ao_atoms, np.arange(env.nao)] = 1.0
+    Co = jnp.asarray(S_half @ C_occ)
+    Cv = jnp.asarray(S_half @ C_vir)
+    Mj = jnp.asarray(M)
+    qk = jnp.einsum("mu,ui,ua->mia", Mj, Co, Cv)
+    qj_oo = jnp.einsum("mu,ui,uj->mij", Mj, Co, Co)
+    qj_vv = jnp.einsum("mu,ua,ub->mab", Mj, Cv, Cv)
+    return qk, qj_oo, qj_vv
+
+
+# ------------------------------------------------------------------- context
+
+@dataclasses.dataclass
+class STDAContext:
+    """Everything needed to evaluate truncated sTDA couplings: per-spin
+    charges + Fock blocks in the (possibly CAS-truncated) active space."""
+
+    nc: int
+    no: int
+    nv: int
+    spinadapt: bool
+    si: float
+    gj: jnp.ndarray  # (natm, natm)
+    gk: jnp.ndarray
+    # per spin s in (alpha, beta): charges over (occ_s x vir_s)
+    qk: tuple  # qk[s][A, o, v]
+    qj_oo: tuple
+    qj_vv: tuple
+    fock_occ: tuple  # fock_occ[s] (nocc_s, nocc_s)
+    fock_vir: tuple
+    # spin-adapt ingredients (None unless spinadapt)
+    dFC: np.ndarray | None = None  # (nc, nc)   HF-Fock spin difference, core
+    dFV: np.ndarray | None = None  # (nv, nv)   ... common virtual block
+
+    @property
+    def nocc(self):
+        return (self.nc + self.no, self.nc)
+
+    @property
+    def nvir(self):
+        return (self.nv, self.no + self.nv)
+
+
+@dataclasses.dataclass(frozen=True)
+class ActiveSpace:
+    """CAS energy-window truncation (`os_sTDA.py:505-578`): a contiguous
+    orbital slice [lo, hi) around the open shell in c|o|v ordering."""
+
+    lo: int
+    hi: int
+    nc: int
+    no: int
+    nv: int
+
+
+def select_active_space(ref: Reference, Emax: float, hyb: float,
+                        cas: bool = True) -> ActiveSpace:
+    nc, no, nv = ref.nc, ref.no, ref.nv
+    if not cas or no == 0:
+        return ActiveSpace(0, nc + no + nv, nc, no, nv)
+    ea = np.diag(ref.fock_a_mo)
+    eb = np.diag(ref.fock_b_mo)
+    somo_lo, somo_hi = ea[nc : nc + no].min(), ea[nc : nc + no].max()
+    sumo_lo, sumo_hi = eb[nc : nc + no].min(), eb[nc : nc + no].max()
+    deps = (1.0 + 0.8 * hyb) * Emax / units.HA2EV
+    othr_a, vthr_a = somo_lo - 2 * deps, somo_hi + 2 * deps
+    othr_b, vthr_b = sumo_lo - 2 * deps, sumo_hi + 2 * deps
+    nc_a = int(np.count_nonzero((ea[:nc] > othr_a) & (ea[:nc] < somo_lo)))
+    nc_b = int(np.count_nonzero((eb[:nc] > othr_b) & (eb[:nc] < sumo_lo)))
+    nc_act = max(nc_a, nc_b)
+    va = ea[nc + no :]
+    vb = eb[nc + no :]
+    nv_a = int(np.count_nonzero((va < vthr_a) & (va > somo_hi)))
+    nv_b = int(np.count_nonzero((vb < vthr_b) & (vb > sumo_hi)))
+    nv_act = max(nv_a, nv_b)
+    lo = nc - nc_act
+    hi = nc + no + nv_act
+    return ActiveSpace(lo, hi, nc_act, no, nv_act)
+
+
+def make_context(ref: Reference, act: ActiveSpace, spinadapt: bool,
+                 paramtype: str = "os") -> STDAContext:
+    env = ref.env
+    hyb = ref.hyb
+    gj, gk = gamma_jk(env.mol, hyb, paramtype)
+    nc, no, nv = act.nc, act.no, act.nv
+    sl = slice(act.lo, act.hi)
+    mo_a = ref.mo_a[:, sl]
+    mo_b = ref.mo_b[:, sl]
+    nocc_a, nocc_b = nc + no, nc
+    qk_a, qjoo_a, qjvv_a = lowdin_charges(env, mo_a[:, :nocc_a], mo_a[:, nocc_a:])
+    qk_b, qjoo_b, qjvv_b = lowdin_charges(env, mo_b[:, :nocc_b], mo_b[:, nocc_b:])
+    fa = ref.fock_a_mo[sl, sl]
+    fb = ref.fock_b_mo[sl, sl]
+    dFC = dFV = None
+    if spinadapt:
+        dF = ref.fock_b_hf_mo[sl, sl] - ref.fock_a_hf_mo[sl, sl]
+        dFC = dF[:nc, :nc]
+        dFV = dF[nc + no :, nc + no :]
+    return STDAContext(
+        nc=nc,
+        no=no,
+        nv=nv,
+        spinadapt=spinadapt,
+        si=0.5 * ref.no,
+        gj=jnp.asarray(gj),
+        gk=jnp.asarray(gk),
+        qk=(qk_a, qk_b),
+        qj_oo=(qjoo_a, qjoo_b),
+        qj_vv=(qjvv_a, qjvv_b),
+        fock_occ=(fa[:nocc_a, :nocc_a], fb[:nocc_b, :nocc_b]),
+        fock_vir=(fa[nocc_a:, nocc_a:], fb[nocc_b:, nocc_b:]),
+        dFC=dFC,
+        dFV=dFV,
+    )
+
+
+def sa_factors(si: float):
+    """XTDA S-dependent spin-adaptation factors (`xtddft/XTDA.py:298-307`)."""
+    f1 = 0.5 * (1.0 - np.sqrt((si + 1.0) / si) + 1.0 / (2.0 * si))
+    f2 = 0.5 * (-1.0 + np.sqrt((si + 1.0) / si) + 1.0 / (2.0 * si))
+    fx = -0.5 / (2.0 * si)
+    return f1, f2, fx
+
+
+# ------------------------------------------------------------ CSF index sets
+
+@dataclasses.dataclass
+class CSFSet:
+    """Selected CSFs per block: (i, a) arrays in block-local index space
+    (CV: core x common-vir; OV: open x common-vir; CO: core x open)."""
+
+    idx: dict  # block -> (i_arr, a_arr)
+
+    def count(self, block: str) -> int:
+        return len(self.idx[block][0])
+
+    @property
+    def sizes(self):
+        return {b: self.count(b) for b in BLOCKS}
+
+    @property
+    def dim(self) -> int:
+        return sum(self.count(b) for b in BLOCKS)
+
+    def gather_arrays(self, nc: int, no: int):
+        """Concatenated within-spin (occ, vir) index arrays + spin flags for
+        the blocked ordering CVa|OVa|COb|CVb."""
+        occ, vir, spin = [], [], []
+        for b in BLOCKS:
+            i, a = self.idx[b]
+            if b == "cva":
+                occ.append(i)
+                vir.append(a)
+                spin.append(np.zeros(len(i), dtype=np.int64))
+            elif b == "ova":
+                occ.append(nc + i)
+                vir.append(a)
+                spin.append(np.zeros(len(i), dtype=np.int64))
+            elif b == "cob":
+                occ.append(i)
+                vir.append(a)
+                spin.append(np.ones(len(i), dtype=np.int64))
+            else:  # cvb
+                occ.append(i)
+                vir.append(no + a)
+                spin.append(np.ones(len(i), dtype=np.int64))
+        return (
+            np.concatenate(occ).astype(np.int64),
+            np.concatenate(vir).astype(np.int64),
+            np.concatenate(spin),
+        )
+
+
+def full_csf_set(nc: int, no: int, nv: int) -> CSFSet:
+    def grid(n1, n2):
+        i, a = np.indices((n1, n2))
+        return i.ravel(), a.ravel()
+
+    return CSFSet(
+        idx={
+            "cva": grid(nc, nv),
+            "ova": grid(no, nv),
+            "cob": grid(nc, no),
+            "cvb": grid(nc, nv),
+        }
+    )
+
+
+def _sort_ia(i, a, n2):
+    order = np.argsort(i * n2 + a, kind="stable")
+    return i[order], a[order]
+
+
+def union_ia(i1, a1, i2, a2, n2):
+    key = np.union1d(i1 * n2 + a1, i2 * n2 + a2)
+    return key // n2, key % n2
+
+
+def intersect_ia(i1, a1, i2, a2, n2):
+    key = np.intersect1d(i1 * n2 + a1, i2 * n2 + a2)
+    return key // n2, key % n2
+
+
+# --------------------------------------------------------------- evaluations
+
+def _qk_gather(ctx: STDAContext, occ, vir, spin):
+    """(natm, P) exchange-type charges for a list of CSFs."""
+    qa = ctx.qk[0][:, occ, vir]
+    qb = ctx.qk[1][:, occ, vir]
+    m = jnp.asarray(spin == 1)
+    return jnp.where(m[None, :], qb, qa)
+
+
+def _j_block(ctx: STDAContext, s: int, o_row, v_row, o_col, v_col,
+             chunk: int = 2048):
+    """Coulomb-type coupling J[p,q] = sum_AB qj_oo[A,o_p,o_q] gJ qj_vv[B,v_p,v_q]
+    for same-spin CSF lists, chunked over rows."""
+    g_oo = jnp.einsum("AB,Bij->Aij", ctx.gj, ctx.qj_oo[s])
+    qvv = ctx.qj_vv[s]
+    o_row = jnp.asarray(o_row)
+    v_row = jnp.asarray(v_row)
+    o_col = jnp.asarray(o_col)
+    v_col = jnp.asarray(v_col)
+    nrow = o_row.shape[0]
+    outs = []
+    for st in range(0, nrow, chunk):
+        en = min(st + chunk, nrow)
+        go = g_oo[:, o_row[st:en], :][:, :, o_col]  # (A, r, q)
+        qv = qvv[:, v_row[st:en], :][:, :, v_col]
+        outs.append(jnp.einsum("Arq,Arq->rq", go, qv))
+    return jnp.concatenate(outs, axis=0)
+
+
+def _fock_block(F_occ, F_vir, o_row, v_row, o_col, v_col):
+    """- F_occ[o_p, o_q] delta(v) + delta(o) F_vir[v_p, v_q]."""
+    do = (o_row[:, None] == o_col[None, :]).astype(F_occ.dtype)
+    dv = (v_row[:, None] == v_col[None, :]).astype(F_occ.dtype)
+    return -np.asarray(F_occ)[np.ix_(o_row, o_col)] * dv + do * np.asarray(
+        F_vir
+    )[np.ix_(v_row, v_col)]
+
+
+def csf_diagonal(ctx: STDAContext, sel: CSFSet, correct: bool = False):
+    """Per-CSF diagonal energies iaia (hartree) and the exchange-diagonal
+    iaiak used by the velocity correction (`os_sTDA.py:33-45, 686-748`)."""
+    occ, vir, spin = sel.gather_arrays(ctx.nc, ctx.no)
+    qsel = _qk_gather(ctx, occ, vir, spin)
+    kdiag = np.asarray(jnp.einsum("Ap,AB,Bp->p", qsel, ctx.gk, qsel))
+    jdiag = np.empty_like(kdiag)
+    fdiag = np.empty_like(kdiag)
+    off = 0
+    for b in BLOCKS:
+        n = sel.count(b)
+        s = 0 if b in ("cva", "ova") else 1
+        o = occ[off : off + n]
+        v = vir[off : off + n]
+        qoo = np.asarray(ctx.qj_oo[s])[:, o, o]  # (A, n)
+        qvv = np.asarray(ctx.qj_vv[s])[:, v, v]
+        jdiag[off : off + n] = np.einsum(
+            "Ap,AB,Bp->p", qoo, np.asarray(ctx.gj), qvv
+        )
+        fo = np.diag(np.asarray(ctx.fock_occ[s]))
+        fv = np.diag(np.asarray(ctx.fock_vir[s]))
+        fdiag[off : off + n] = fv[v] - fo[o]
+        off += n
+    iaia = kdiag - jdiag + fdiag
+    if ctx.spinadapt and ctx.no > 0:
+        f1, f2, _ = sa_factors(ctx.si)
+        dc = np.diag(ctx.dFC)
+        dv_ = np.diag(ctx.dFV)
+        i_cva, a_cva = sel.idx["cva"]
+        i_cvb, a_cvb = sel.idx["cvb"]
+        n_cva = sel.count("cva")
+        off_cvb = sel.count("cva") + sel.count("ova") + sel.count("cob")
+        iaia[:n_cva] += f1 * dv_[a_cva] + f2 * dc[i_cva]
+        iaia[off_cvb:] += f2 * dv_[a_cvb] + f1 * dc[i_cvb]
+    if correct:
+        delta_max = 0.5 / units.HA2EV
+        sigma_k = 0.1 / units.HA2EV
+        iaia = iaia + delta_max / (1.0 + (kdiag / sigma_k) ** 4)
+    return iaia, kdiag
+
+
+def coupling_matrix(ctx: STDAContext, rows: CSFSet, cols: CSFSet,
+                    include_fock: bool = True, include_sa: bool = True,
+                    sa_cross_sign: float = -1.0) -> np.ndarray:
+    """Coupling matrix between two CSF sets (blocked CVa|OVa|COb|CVb on both
+    axes): exchange-type K everywhere, Coulomb-type J + Fock between
+    same-spin CSFs, spin-adapted dA on the CV blocks.
+
+    sa_cross_sign: -1 follows XTDA (`xtddft/XTDA.py:324-331`); +1 reproduces
+    the reference sTDA literal behavior (`os_sTDA.py:106-115`)."""
+    occ_r, vir_r, spin_r = rows.gather_arrays(ctx.nc, ctx.no)
+    occ_c, vir_c, spin_c = cols.gather_arrays(ctx.nc, ctx.no)
+    qr = _qk_gather(ctx, occ_r, vir_r, spin_r)
+    qc = _qk_gather(ctx, occ_c, vir_c, spin_c)
+    M = np.array(jnp.einsum("Ap,AB,Bq->pq", qr, ctx.gk, qc))
+    for s in (0, 1):
+        rr = np.where(spin_r == s)[0]
+        cc = np.where(spin_c == s)[0]
+        if len(rr) == 0 or len(cc) == 0:
+            continue
+        J = np.asarray(
+            _j_block(ctx, s, occ_r[rr], vir_r[rr], occ_c[cc], vir_c[cc])
+        )
+        M[np.ix_(rr, cc)] -= J
+        if include_fock:
+            M[np.ix_(rr, cc)] += _fock_block(
+                ctx.fock_occ[s], ctx.fock_vir[s],
+                occ_r[rr], vir_r[rr], occ_c[cc], vir_c[cc],
+            )
+    if include_sa and ctx.spinadapt and ctx.no > 0:
+        f1, f2, fx = sa_factors(ctx.si)
+        fx = abs(fx) * sa_cross_sign
+
+        def _dA(i_r, a_r, i_c, a_c, c_occ, c_vir):
+            d_i = (i_r[:, None] == i_c[None, :]).astype(np.float64)
+            d_a = (a_r[:, None] == a_c[None, :]).astype(np.float64)
+            return (
+                c_vir * d_i * ctx.dFV[np.ix_(a_r, a_c)]
+                + c_occ * ctx.dFC[np.ix_(i_r, i_c)] * d_a
+            )
+
+        def _span(cset, block):
+            start = 0
+            for b in BLOCKS:
+                if b == block:
+                    return slice(start, start + cset.count(b))
+                start += cset.count(b)
+
+        for br, bc, co, cv in (
+            ("cva", "cva", f2, f1),
+            ("cvb", "cvb", f1, f2),
+            ("cva", "cvb", fx, fx),
+            ("cvb", "cva", fx, fx),
+        ):
+            i_r, a_r = rows.idx[br]
+            i_c, a_c = cols.idx[bc]
+            if len(i_r) == 0 or len(i_c) == 0:
+                continue
+            M[_span(rows, br), _span(cols, bc)] += _dA(i_r, a_r, i_c, a_c, co, cv)
+    return M
+
+
+def perturbative_selection(ctx: STDAContext, pcsf: CSFSet, ncsf: CSFSet,
+                           iaia_p: np.ndarray, iaia_n: np.ndarray,
+                           tp: float = 1e-4, select_with_fock: bool = True,
+                           sa_cross_sign: float = -1.0):
+    """Secondary-CSF selection: perturbative coupling of each N-CSF to the
+    P-CSF space, iajb[n] = sum_p A_pn^2 / (E_n - E_p) (`os_sTDA.py:235-261`).
+
+    With select_with_fock=False the coupling estimate keeps only the K/J
+    monopole terms (the reference's literal behavior); the default also
+    includes the Fock and dA couplings (the reference's commented-out
+    variant, `os_sTDA.py:795-855`), which matters for ROKS references whose
+    spin Fock matrices have large off-diagonals.  Returns a boolean
+    keep-mask over the concatenated N-CSF list."""
+    if pcsf.dim == 0 or ncsf.dim == 0:
+        return np.zeros(ncsf.dim, dtype=bool)
+    coup = coupling_matrix(
+        ctx, pcsf, ncsf,
+        include_fock=select_with_fock, include_sa=select_with_fock,
+        sa_cross_sign=sa_cross_sign,
+    )
+    denom = iaia_n[None, :] - iaia_p[:, None] + 1e-10
+    iajb = np.sum(coup**2 / denom, axis=0)
+    return iajb >= tp
+
+
+def assemble_A(ctx: STDAContext, sel: CSFSet, correct: bool = False,
+               sa_cross_sign: float = -1.0) -> np.ndarray:
+    """Dense truncated A over the selected CSFs (blocked CVa|OVa|COb|CVb)."""
+    A = coupling_matrix(ctx, sel, sel, sa_cross_sign=sa_cross_sign)
+    if correct:
+        occ, vir, spin = sel.gather_arrays(ctx.nc, ctx.no)
+        qsel = _qk_gather(ctx, occ, vir, spin)
+        kd = np.asarray(jnp.einsum("Ap,AB,Bp->p", qsel, ctx.gk, qsel))
+        delta_max = 0.5 / units.HA2EV
+        sigma_k = 0.1 / units.HA2EV
+        P = len(kd)
+        A[np.arange(P), np.arange(P)] += delta_max / (1.0 + (kd / sigma_k) ** 4)
+    return A
