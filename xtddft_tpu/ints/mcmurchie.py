@@ -171,6 +171,85 @@ def make_shell_pair(sha: Shell, shb: Shell, ldelta: int = 0) -> ShellPair:
     return ShellPair(la=la, lb=lb, H=H, p=p, P=P, cc=cc, A=sha.center, B=shb.center)
 
 
+def make_shell_pair_deriv(sha: Shell, shb: Shell, d_bra: int | None = None,
+                          d_ket: int | None = None) -> ShellPair:
+    """Hermite expansion of (d/dr_{d_bra} chi_a) * (d/dr_{d_ket} chi_b).
+
+    The electron-coordinate derivative of a Cartesian Gaussian is
+    d/dx [(x-Ax)^i e^{-a(x-Ax)^2}] = i*(i-1 comp) - 2a*(i+1 comp), so a
+    derivative pair is expanded like a normal pair with the angular
+    momentum raised by one per derivative; the Hermite order is L+1 (one
+    derivative) or L+2 (both).  Used for p.V.p / SO one-electron integrals
+    and ip1ip2-type derivative ERIs (the reference gets these from libcint
+    `int1e_pnucp` / `cint1e_prinvxp` / `int2e_ip1ip2`,
+    `/root/reference/x2c_hamiltonian/sfX2C_soDKH1.py:218-256, 758-778`).
+    """
+    la, lb = sha.l, shb.l
+    a = np.repeat(sha.exps, len(shb.exps))
+    b = np.tile(shb.exps, len(sha.exps))
+    ca = np.repeat(sha.coefs, len(shb.coefs))
+    cb = np.tile(shb.coefs, len(sha.coefs))
+    cc = ca * cb
+    AB = sha.center - shb.center
+    p = a + b
+    P = (a[:, None] * sha.center[None, :] + b[:, None] * shb.center[None, :]) / p[:, None]
+
+    nd_bra = int(d_bra is not None)
+    nd_ket = int(d_ket is not None)
+    E = [e_coeffs_1d(la + nd_bra, lb + nd_ket, a, b, AB[dd]) for dd in range(3)]
+    npair = p.shape[0]
+
+    # per-dimension derivative-applied E tables D[dd][i, j, t] over the
+    # *undifferentiated* (i, j) index ranges
+    D = []
+    for dd in range(3):
+        tmax = la + lb + nd_bra + nd_ket + 1
+        tab = np.zeros((la + 1, lb + 1, tmax, npair))
+        base = E[dd]
+        for i_ in range(la + 1):
+            for j_ in range(lb + 1):
+                if dd == d_bra and dd == d_ket:
+                    v = 4.0 * a[None, :] * b[None, :] * base[i_ + 1, j_ + 1, :tmax]
+                    if j_ >= 1:
+                        v = v - 2.0 * a[None, :] * j_ * base[i_ + 1, j_ - 1, :tmax]
+                    if i_ >= 1:
+                        v = v - 2.0 * b[None, :] * i_ * base[i_ - 1, j_ + 1, :tmax]
+                        if j_ >= 1:
+                            v = v + i_ * j_ * base[i_ - 1, j_ - 1, :tmax]
+                elif dd == d_bra:
+                    v = -2.0 * a[None, :] * base[i_ + 1, j_, :tmax]
+                    if i_ >= 1:
+                        v = v + i_ * base[i_ - 1, j_, :tmax]
+                elif dd == d_ket:
+                    v = -2.0 * b[None, :] * base[i_, j_ + 1, :tmax]
+                    if j_ >= 1:
+                        v = v + j_ * base[i_, j_ - 1, :tmax]
+                else:
+                    v = base[i_, j_, :tmax]
+                tab[i_, j_] = v
+        D.append(tab)
+
+    comps_a = cart_components(la)
+    comps_b = cart_components(lb)
+    L = la + lb + nd_bra + nd_ket
+    hidx = herm_indices(L)
+    H = np.zeros((len(comps_a) * len(comps_b), len(hidx), npair))
+    for ia_, ci in enumerate(comps_a):
+        for ib_, cj in enumerate(comps_b):
+            row = ia_ * len(comps_b) + ib_
+            for h, (t, u, v) in enumerate(hidx):
+                H[row, h] = (
+                    D[0][ci[0], cj[0], t]
+                    * D[1][ci[1], cj[1], u]
+                    * D[2][ci[2], cj[2], v]
+                )
+    H = H * cc[None, None, :]
+    return ShellPair(
+        la=la + nd_bra, lb=lb + nd_ket, H=H, p=p, P=P, cc=cc,
+        A=sha.center, B=shb.center,
+    )
+
+
 def make_pair_eijk(sha: Shell, shb: Shell, ldelta: int):
     """Raw per-dimension E tensors + pair data, for derivative/moment ints."""
     a = np.repeat(sha.exps, len(shb.exps))

@@ -1,0 +1,134 @@
+"""Spin-orbit / X2C derivative integrals.
+
+Provides the integrals the reference pulls from libcint for its
+relativistic layer (`/root/reference/x2c_hamiltonian/sfX2C_soDKH1.py`):
+
+- ``rinv_deriv2``  <d_i mu | 1/r_C | d_j nu>            (cint1e_iprinvip-like)
+- ``pnucp``        p.Vnuc.p spin-free W                  (int1e_pnucp, :761)
+- ``wso``          eps_lmn <d_m mu| Vnuc |d_n nu>        (cint1e_prinvxp, :202-216)
+- ``kint``         eps_lij (d_i mu nu | d_j ka la)       (int2e_ip1ip2, :218-243)
+
+All computed with the in-house McMurchie-Davidson derivative shell pairs
+(`ints/mcmurchie.py: make_shell_pair_deriv`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from xtddft_tpu.ints import mcmurchie as md
+from xtddft_tpu.ints.shell import BasisLayout, Shell, cart2sph, ncart
+from xtddft_tpu.ints.two_electron import _quartet_cart, _sph4
+
+_EPS = np.zeros((3, 3, 3))
+for _x, _y, _z in ((0, 1, 2), (1, 2, 0), (2, 0, 1)):
+    _EPS[_x, _y, _z] = 1.0
+    _EPS[_x, _z, _y] = -1.0
+
+
+def _sph_block(mat_cart: np.ndarray, la: int, lb: int) -> np.ndarray:
+    Ca = cart2sph(la)
+    Cb = cart2sph(lb)
+    return Ca.T @ mat_cart.reshape(Ca.shape[0], Cb.shape[0]) @ Cb
+
+
+def rinv_deriv2(layout: BasisLayout, center) -> np.ndarray:
+    """(3, 3, nao, nao) tensor <d_i mu | 1/|r-C| | d_j nu> (positive kernel)."""
+    C = np.asarray(center, dtype=np.float64)
+    nao = layout.nao
+    out = np.zeros((3, 3, nao, nao))
+    shells = layout.shells
+    for sha in shells:
+        for shb in shells:
+            sa = slice(sha.ao_offset, sha.ao_offset + sha.nao)
+            sb = slice(shb.ao_offset, shb.ao_offset + shb.nao)
+            for i in range(3):
+                for j in range(3):
+                    sp = md.make_shell_pair_deriv(sha, shb, d_bra=i, d_ket=j)
+                    PC = sp.P - C[None, :]
+                    R = md.hermite_coulomb(sp.L, sp.p, PC)
+                    pref = 2.0 * np.pi / sp.p
+                    blk = np.einsum("chp,hp,p->c", sp.H, R, pref)
+                    out[i, j, sa, sb] = _sph_block(blk, sha.l, shb.l)
+    return out
+
+
+def pnucp(layout: BasisLayout) -> np.ndarray:
+    """Spin-free W = p . Vnuc . p = sum_d <d_d mu| Vnuc |d_d nu>
+    (Vnuc = -sum_A Z_A / r_A); symmetric (int1e_pnucp)."""
+    mol = layout.mol
+    nao = layout.nao
+    w = np.zeros((nao, nao))
+    for Z, C in zip(mol.charges, mol.coords):
+        W = rinv_deriv2(layout, C)
+        w -= Z * (W[0, 0] + W[1, 1] + W[2, 2])
+    return w
+
+
+def wso(layout: BasisLayout) -> np.ndarray:
+    """One-electron spin-orbit vector integrals
+    Wso_l = eps_{lmn} <d_m mu| Vnuc |d_n nu>  (antisymmetric per component).
+
+    Matches the reference's `get_wso` = -sum_A Z_A * cint1e_prinvxp
+    (`sfX2C_soDKH1.py:202-216`)."""
+    mol = layout.mol
+    nao = layout.nao
+    out = np.zeros((3, nao, nao))
+    for Z, C in zip(mol.charges, mol.coords):
+        W = rinv_deriv2(layout, C)
+        # Vnuc contribution of this center = -Z/r
+        out -= Z * np.einsum("lmn,mnpq->lpq", _EPS, W)
+    return out
+
+
+def kint(layout: BasisLayout, use_1c: bool = False) -> np.ndarray:
+    """SO two-electron tensor K_l[mu,nu,ka,la] = eps_{lij}
+    (d_i mu nu | d_j ka la), chemists' notation (`sfX2C_soDKH1.py:218-243`).
+
+    With ``use_1c`` only AO quartets whose four shells share one atom are
+    evaluated (the one-center approximation, `get_fso2e_1c`:294)."""
+    shells = layout.shells
+    nao = layout.nao
+    nsh = len(shells)
+    out = np.zeros((3, nao, nao, nao, nao))
+
+    def sl(sh: Shell):
+        return slice(sh.ao_offset, sh.ao_offset + sh.nao)
+
+    # derivative pairs cache: (ish, jsh, d) -> ShellPair
+    cache: dict = {}
+
+    def dpair(i, j, d):
+        key = (i, j, d)
+        if key not in cache:
+            cache[key] = md.make_shell_pair_deriv(shells[i], shells[j], d_bra=d)
+        return cache[key]
+
+    for ib in range(nsh):
+        for jb in range(nsh):
+            for kb in range(nsh):
+                for lb_ in range(nsh):
+                    if use_1c:
+                        atoms = {
+                            shells[q].atom_index for q in (ib, jb, kb, lb_)
+                        }
+                        if len(atoms) != 1:
+                            continue
+                    la_, lb2 = shells[ib].l, shells[jb].l
+                    lc_, ld_ = shells[kb].l, shells[lb_].l
+                    blocks = np.empty(
+                        (3, 3, ncart(la_), ncart(lb2), ncart(lc_), ncart(ld_))
+                    )
+                    for i in range(3):
+                        bra = dpair(ib, jb, i)
+                        for j in range(3):
+                            ket = dpair(kb, lb_, j)
+                            t = _quartet_cart(bra, ket)
+                            blocks[i, j] = t.reshape(blocks.shape[2:])
+                    so = np.einsum("lij,ijabcd->labcd", _EPS, blocks)
+                    for l_ in range(3):
+                        out[
+                            l_, sl(shells[ib]), sl(shells[jb]),
+                            sl(shells[kb]), sl(shells[lb_]),
+                        ] = _sph4(so[l_], la_, lb2, lc_, ld_)
+    return out
