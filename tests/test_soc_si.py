@@ -1,0 +1,81 @@
+"""SOC state-interaction tests.
+
+End-to-end physics gate: the O atom 3P ground term must split into the
+inverted J = 2, 1, 0 fine-structure pattern (5/3/1 degeneracies, Lande
+interval ratio ~2:1, total spread of order 2e2 cm^-1) — the analog of the
+reference's As-atom pipeline run (`x2c_hamiltonian/test_SOCSI.py`)."""
+
+import numpy as np
+import pytest
+
+from xtddft_tpu import units
+from xtddft_tpu.chem import Molecule
+from xtddft_tpu.scf import ROHF
+from xtddft_tpu.soc.si import wigner_w, vso_to_hm
+from xtddft_tpu.soc.pipeline import run_soc_si
+
+CM = units.HA2EV * units.EV2CM_1
+
+
+def test_wigner_w_values():
+    # normalization: w(S, S, S', S') = 1 whenever allowed
+    assert wigner_w(1.0, 1.0, 1.0, 1.0) == pytest.approx(1.0)
+    assert wigner_w(1.0, 1.0, 2.0, 2.0) == pytest.approx(1.0)
+    assert wigner_w(0.5, 0.5, 1.5, 1.5) == pytest.approx(1.0)
+    # forbidden |S-S'| > 1
+    assert wigner_w(1.0, 0.0, 3.0, 0.0) == 0.0
+    # |M-M'| > 1 vanishes through the 3j
+    assert wigner_w(1.0, -1.0, 1.0, 1.0) == pytest.approx(0.0)
+
+
+def test_vso_to_hm_structure():
+    rng = np.random.default_rng(0)
+    v = rng.normal(size=(3, 6, 6))
+    v = v - np.transpose(v, (0, 2, 1))  # antisymmetric per component
+    hm = vso_to_hm(v)
+    # h^{+1} = conj(h^{-1}); h^0 anti-hermitian-real structure
+    assert np.allclose(hm[..., 2], hm[..., 0].conjugate())
+    assert np.allclose(hm[..., 1], -hm[..., 1].conjugate())
+
+
+@pytest.fixture(scope="module")
+def o_si():
+    mol = Molecule.from_atoms("O 0 0 0", basis="sto-3g", spin=2)
+    mf = ROHF(mol).kernel()
+    return run_soc_si(mf, nstates=8, cal_osc=True)
+
+
+def test_o_atom_fine_structure(o_si):
+    e = (o_si.result.eso - o_si.result.eso[0]) * CM
+    low = e[e < 5000]  # the 3P manifold
+    assert len(low) == 9  # (2S+1)(2L+1) = 9 microstates
+    # inverted multiplet: groups of 5 (J=2), 3 (J=1), 1 (J=0)
+    j2, j1, j0 = low[:5], low[5:8], low[8]
+    assert j2.max() - j2.min() < 25.0  # quasi-degenerate
+    assert j1.max() - j1.min() < 25.0
+    # Lande interval rule E(J)-E(J-1) = lambda*J => ratio 2:1
+    d21 = j1.mean() - j2.mean()
+    d10 = j0 - j1.mean()
+    assert d21 > 0 and d10 > 0
+    assert d21 / d10 == pytest.approx(2.0, rel=0.35)
+    # magnitude: STO-3G underestimates the experimental 227 cm^-1 spread
+    assert 50.0 < j0 < 400.0
+
+
+def test_o_atom_heff_hermitian(o_si):
+    h = o_si.result.hso
+    assert np.abs(h - h.T.conjugate()).max() < 1e-12
+    # SOC is a weak perturbation here: eigenvalues real and finite
+    assert np.all(np.isfinite(o_si.result.eso))
+
+
+def test_osc_strengths_physical(o_si):
+    r = o_si.result
+    assert r.dmso is not None
+    # transition dipole matrix hermitian per component
+    for x in range(3):
+        d = r.dmso[..., x]
+        assert np.abs(d - d.T.conjugate()).max() < 1e-8
+    # f >= 0 for upward transitions from the SOC ground state
+    fs = [o_si.osc_strength(0, j) for j in range(1, min(12, o_si.dim))]
+    assert all(f > -1e-10 for f in fs)

@@ -81,12 +81,25 @@ def wso(layout: BasisLayout) -> np.ndarray:
     return out
 
 
+def _deriv_pair_stack(sha: Shell, shb: Shell):
+    """Stacked Hermite coefficients of the three bra-derivative pairs of a
+    shell pair: H (3, ncab, nherm(L+1), npair) + shared (p, P)."""
+    sps = [md.make_shell_pair_deriv(sha, shb, d_bra=d) for d in range(3)]
+    H = np.stack([sp.H for sp in sps])
+    return H, sps[0].p, sps[0].P, sps[0].L
+
+
 def kint(layout: BasisLayout, use_1c: bool = False) -> np.ndarray:
     """SO two-electron tensor K_l[mu,nu,ka,la] = eps_{lij}
     (d_i mu nu | d_j ka la), chemists' notation (`sfX2C_soDKH1.py:218-243`).
 
+    The Hermite-Coulomb R tensor is built once per (bra-pair, ket-pair) and
+    shared across all nine derivative combinations; the quartet-swap
+    antisymmetry K[mu nu ka la] = -K[ka la mu nu] halves the pair loop.
     With ``use_1c`` only AO quartets whose four shells share one atom are
     evaluated (the one-center approximation, `get_fso2e_1c`:294)."""
+    from xtddft_tpu.ints.two_electron import _comb_index, _herm_sign
+
     shells = layout.shells
     nao = layout.nao
     nsh = len(shells)
@@ -95,40 +108,55 @@ def kint(layout: BasisLayout, use_1c: bool = False) -> np.ndarray:
     def sl(sh: Shell):
         return slice(sh.ao_offset, sh.ao_offset + sh.nao)
 
-    # derivative pairs cache: (ish, jsh, d) -> ShellPair
-    cache: dict = {}
+    # stacked derivative pairs per ordered shell pair
+    stacks = {}
 
-    def dpair(i, j, d):
-        key = (i, j, d)
-        if key not in cache:
-            cache[key] = md.make_shell_pair_deriv(shells[i], shells[j], d_bra=d)
-        return cache[key]
+    def stack(i, j):
+        if (i, j) not in stacks:
+            stacks[(i, j)] = _deriv_pair_stack(shells[i], shells[j])
+        return stacks[(i, j)]
 
-    for ib in range(nsh):
-        for jb in range(nsh):
-            for kb in range(nsh):
-                for lb_ in range(nsh):
-                    if use_1c:
-                        atoms = {
-                            shells[q].atom_index for q in (ib, jb, kb, lb_)
-                        }
-                        if len(atoms) != 1:
-                            continue
-                    la_, lb2 = shells[ib].l, shells[jb].l
-                    lc_, ld_ = shells[kb].l, shells[lb_].l
-                    blocks = np.empty(
-                        (3, 3, ncart(la_), ncart(lb2), ncart(lc_), ncart(ld_))
+    pair_list = [
+        (i, j)
+        for i in range(nsh)
+        for j in range(nsh)
+        if not use_1c or shells[i].atom_index == shells[j].atom_index
+    ]
+    for ip, (ib, jb) in enumerate(pair_list):
+        Hb, pb, Pb, Lb = stack(ib, jb)
+        for (kb, lb_) in pair_list[: ip + 1]:
+            if use_1c and shells[ib].atom_index != shells[kb].atom_index:
+                continue
+            Hk, pk, Pk, Lk = stack(kb, lb_)
+            nbp, nkp = pb.shape[0], pk.shape[0]
+            pq = pb[:, None] * pk[None, :]
+            psum = pb[:, None] + pk[None, :]
+            alpha = (pq / psum).ravel()
+            PQ = (Pb[:, None, :] - Pk[None, :, :]).reshape(-1, 3)
+            R = md.hermite_coulomb(Lb + Lk, alpha, PQ)
+            R = R * (2.0 * np.pi**2.5 / (pq * np.sqrt(psum))).ravel()[None, :]
+            cidx = _comb_index(Lb, Lk)
+            R4 = R[cidx].reshape(cidx.shape[0], cidx.shape[1], nbp, nkp)
+            sign = _herm_sign(Lk)
+            Hks = Hk * sign[None, None, :, None]
+            # all 9 derivative combos in one contraction
+            blocks = np.einsum(
+                "dahp,hkpq,ebkq->deab", Hb, R4, Hks, optimize=True
+            )
+            so = np.einsum("lde,deab->lab", _EPS, blocks)
+            la_, lb2 = shells[ib].l, shells[jb].l
+            lc_, ld_ = shells[kb].l, shells[lb_].l
+            for l_ in range(3):
+                t = _sph4(
+                    so[l_].reshape(-1),
+                    la_, lb2, lc_, ld_,
+                )
+                out[l_, sl(shells[ib]), sl(shells[jb]),
+                    sl(shells[kb]), sl(shells[lb_])] = t
+                if (kb, lb_) != (ib, jb):
+                    # K[ab,cd] = -K[cd,ab]
+                    out[l_, sl(shells[kb]), sl(shells[lb_]),
+                        sl(shells[ib]), sl(shells[jb])] = -np.transpose(
+                        t, (2, 3, 0, 1)
                     )
-                    for i in range(3):
-                        bra = dpair(ib, jb, i)
-                        for j in range(3):
-                            ket = dpair(kb, lb_, j)
-                            t = _quartet_cart(bra, ket)
-                            blocks[i, j] = t.reshape(blocks.shape[2:])
-                    so = np.einsum("lij,ijabcd->labcd", _EPS, blocks)
-                    for l_ in range(3):
-                        out[
-                            l_, sl(shells[ib]), sl(shells[jb]),
-                            sl(shells[kb]), sl(shells[lb_]),
-                        ] = _sph4(so[l_], la_, lb2, lc_, ld_)
     return out
