@@ -1,0 +1,118 @@
+"""Golden regression tests against the reference's stored outputs
+(SURVEY.md §6): notebook excitation tables and the hardcoded Be line.
+
+These exercise the full stack (integrals -> SCF -> XC -> response ->
+properties) against numbers produced by PySCF + the reference code, so the
+tolerances reflect stack-level parity, not test noise:
+- N2 TDA matches to 0.1 meV; FH XSF-TDA to ~1 meV; CH2O+ X-TDA to ~10 meV
+  (grid-scheme differences); Be to ~0.2 eV (approximate aug-cc-pVTZ
+  transcription, see `chem/basis/data_augccpvtz.py`).
+"""
+
+import numpy as np
+import pytest
+
+from xtddft_tpu import units
+from xtddft_tpu.chem import Molecule, geometries as G
+from xtddft_tpu.methods.drivers import TDA, UTDA, XTDA, XSFTDA
+from xtddft_tpu.scf import RKS, ROKS, UKS
+
+
+def test_n2_tda_b3lyp():
+    """example/TDA.ipynb cell 2: N2 cc-pVDZ/B3LYP singlet TDA."""
+    mol = Molecule.from_atoms(G.n2, basis="cc-pvdz")
+    mf = RKS(mol, xc="b3lyp", grid_level=3).kernel()
+    r = TDA(mf, nstates=3).kernel()
+    ref = np.array([9.0614, 9.1420, 9.1420])
+    assert np.abs(r.e_eV - ref).max() < 2e-3
+
+
+@pytest.fixture(scope="module")
+def fh_pi_roks():
+    """FH 6-31G/BHandHLYP aufbau (3Pi) triplet at 1.0 A."""
+    mol = Molecule.from_atoms(G.fh, basis="6-31g", spin=2)
+    return ROKS(mol, xc="bhandhlyp", grid_level=3).kernel()
+
+
+@pytest.fixture(scope="module")
+def fh_sigma_roks(fh_pi_roks):
+    """FH 3Sigma (sigma->sigma*) state via MOM occupation control — the
+    reference pins it with irrep_nelec {'A1': (4,2), 'B1': (1,1),
+    'B2': (1,1)} (example/XSF_TDA.ipynb cell 1)."""
+    mol = fh_pi_roks.mol
+    mf = ROKS(mol, xc="bhandhlyp", grid_level=3).kernel(
+        occ=([0, 1, 2, 3, 4, 5], [0, 1, 3, 4]), init=fh_pi_roks.mo_coeff
+    )
+    assert mf.converged
+    return mf
+
+
+def test_fh_scf_energy(fh_pi_roks):
+    """example/'spin up.ipynb' cell 1: E(SCF) = -100.038593827451 (the
+    aufbau 3Pi state)."""
+    assert fh_pi_roks.e_tot == pytest.approx(-100.038593827451, abs=5e-5)
+
+
+def test_fh_xsf_alda0(fh_sigma_roks):
+    """example/XSF_TDA.ipynb cell 2 stored output (ALDA0)."""
+    r = XSFTDA(fh_sigma_roks, nstates=4, method=0).kernel()
+    ref = np.array([-12.09424, -2.16162, -2.16162, 2.94771])
+    assert np.abs(r.e * units.HA2EV - ref).max() < 5e-3
+
+
+def test_fh_usf_alda0():
+    """example/XSF_TDA.ipynb cell 6: USF-TDA on the UKS 3Sigma reference."""
+    mol = Molecule.from_atoms(G.fh, basis="6-31g", spin=2)
+    mf0 = UKS(mol, xc="bhandhlyp", grid_level=3).kernel()
+    mf = UKS(mol, xc="bhandhlyp", grid_level=3).kernel(
+        occ=([0, 1, 2, 3, 4, 5], [0, 1, 3, 4]), init=mf0.mo_coeff
+    )
+    r = XSFTDA(mf, nstates=4, SA=0, method=0).kernel(remove=False)
+    ref = np.array([-11.79723, -2.28512, -2.28512, 0.61990])
+    assert np.abs(r.e * units.HA2EV - ref).max() < 5e-3
+
+
+def test_fh_xsf_mcol_qualitative(fh_sigma_roks):
+    """Multicollinear vs stored mcfun numbers: same structure (degenerate
+    pair, same state ordering, shifts of the right scale), but this build's
+    closed-form mc kernel is not numerically identical to mcfun's sampling
+    (see `xc/mcol.py`); gate loosely."""
+    r = XSFTDA(fh_sigma_roks, nstates=4, method=1).kernel()
+    e = r.e * units.HA2EV
+    ref = np.array([-12.16628, -2.57263, -2.57263, 3.04828])
+    assert abs(e[1] - e[2]) < 1e-4  # degenerate Pi pair preserved
+    assert np.abs(e - ref).max() < 0.5
+
+
+@pytest.fixture(scope="module")
+def ch2o_cation():
+    return Molecule.from_atoms(G.ch2o_vacuum, basis="cc-pvdz", charge=1, spin=1)
+
+
+def test_ch2o_xtda_b3lyp(ch2o_cation):
+    """example/TDA.ipynb cell 6: X-TDA on ROKS CH2O+ cc-pVDZ/B3LYP."""
+    mf = ROKS(ch2o_cation, xc="b3lyp", grid_level=3).kernel()
+    r = XTDA(mf, nstates=5).kernel()
+    ref = np.array([3.8634, 5.3476, 5.7484, 6.6386, 7.9075])
+    assert np.abs(r.e_eV - ref).max() < 0.02
+
+
+def test_ch2o_utda_b3lyp(ch2o_cation):
+    """example/TDA.ipynb cell 4: UTDA on UKS CH2O+ cc-pVDZ/B3LYP."""
+    mf = UKS(ch2o_cation, xc="b3lyp", grid_level=3).kernel()
+    r = UTDA(mf, nstates=3).kernel()
+    ref = np.array([3.9889, 5.4592, 5.8050])
+    assert np.abs(r.e_eV - ref).max() < 0.02
+
+
+def test_be_xsf_augccpvtz():
+    """`xtddft/XSF_TDA.py:1574` hardcoded Be reference line.  Loose gate:
+    the local aug-cc-pVTZ Be table is an approximate transcription."""
+    mol = Molecule.from_atoms("Be 0 0 0", basis="aug-cc-pvtz", spin=2)
+    mf = ROKS(mol, xc="bhandhlyp", grid_level=3).kernel()
+    r = XSFTDA(mf, nstates=10).kernel()
+    ref = np.array([
+        -2.58159612, 1.94501967, 2.0441558, 2.04415705, 3.55556409,
+        4.0395836, 4.07260624, 4.07260634, 4.09542032, 4.09542242,
+    ])
+    assert np.abs(r.e * units.HA2EV - ref).max() < 0.2

@@ -172,7 +172,8 @@ def make_shell_pair(sha: Shell, shb: Shell, ldelta: int = 0) -> ShellPair:
 
 
 def make_shell_pair_deriv(sha: Shell, shb: Shell, d_bra: int | None = None,
-                          d_ket: int | None = None) -> ShellPair:
+                          d_ket: int | None = None,
+                          m_bra: int | None = None) -> ShellPair:
     """Hermite expansion of (d/dr_{d_bra} chi_a) * (d/dr_{d_ket} chi_b).
 
     The electron-coordinate derivative of a Cartesian Gaussian is
@@ -194,7 +195,9 @@ def make_shell_pair_deriv(sha: Shell, shb: Shell, d_bra: int | None = None,
     p = a + b
     P = (a[:, None] * sha.center[None, :] + b[:, None] * shb.center[None, :]) / p[:, None]
 
-    nd_bra = int(d_bra is not None)
+    if m_bra is not None and d_bra is not None:
+        raise NotImplementedError("combined bra moment and bra derivative")
+    nd_bra = int(d_bra is not None) + int(m_bra is not None)
     nd_ket = int(d_ket is not None)
     E = [e_coeffs_1d(la + nd_bra, lb + nd_ket, a, b, AB[dd]) for dd in range(3)]
     npair = p.shape[0]
@@ -220,6 +223,13 @@ def make_shell_pair_deriv(sha: Shell, shb: Shell, d_bra: int | None = None,
                     v = -2.0 * a[None, :] * base[i_ + 1, j_, :tmax]
                     if i_ >= 1:
                         v = v + i_ * base[i_ - 1, j_, :tmax]
+                elif dd == m_bra and dd == d_ket:
+                    # (x-A_x) moment on bra combined with ket derivative
+                    v = -2.0 * b[None, :] * base[i_ + 1, j_ + 1, :tmax]
+                    if j_ >= 1:
+                        v = v + j_ * base[i_ + 1, j_ - 1, :tmax]
+                elif dd == m_bra:
+                    v = base[i_ + 1, j_, :tmax]
                 elif dd == d_ket:
                     v = -2.0 * b[None, :] * base[i_, j_ + 1, :tmax]
                     if j_ >= 1:

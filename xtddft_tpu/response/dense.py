@@ -230,8 +230,10 @@ def _sf_fxc_tensor(ref: Reference, orb_o, orb_v):
 
 
 def sf_coupling_tensor(ref: Reference, extype: str, method: int = 0):
-    """SF coupling a^{sf}_{ia,jb}: -K + (ALDA0 kernel if method==0).
+    """SF coupling a^{sf}_{ia,jb}: -K + SF xc kernel.
 
+    method: 0 = ALDA0 (noncollinear LDA-limit), 1 = multicollinear,
+    2 = collinear (HF exchange only), `xtddft/SF_TDA.py:19`.
     extype='down': i,j alpha-occ; a,b beta-vir.  extype='up': i,j beta-occ;
     a,b alpha-vir.  No Coulomb J in spin-flip channels
     (`xtddft/SF_TDA.py:269-271`).
@@ -242,8 +244,16 @@ def sf_coupling_tensor(ref: Reference, extype: str, method: int = 0):
         co, cv = ref.orbo_b, ref.orbv_a
     k = _k_eri(ref, co, cv)
     a = -np.einsum("ijab->iajb", k)
-    if method == 0 and ref.spec is not None and ref.spec.components:
-        a = a + _sf_fxc_tensor(ref, co, cv)
+    if ref.spec is not None and ref.spec.components:
+        if method == 0:
+            a = a + _sf_fxc_tensor(ref, co, cv)
+        elif method == 1:
+            from xtddft_tpu.xc.mcol import sf_kernel_mcol, sf_mcol_tensor
+
+            fxcH = sf_kernel_mcol(
+                ref.spec, ref.env.grid_weights, _rho0(ref)
+            )
+            a = a + np.asarray(sf_mcol_tensor(fxcH, ref.env.ao, co, cv))
     return a
 
 

@@ -193,24 +193,31 @@ def utda_sigma_operator(ref: Reference) -> SigmaOperator:
 
 def make_sf_vresp(ref: Reference, method: int = 0):
     """SF response: dms (n,nao,nao) (alpha->beta transition densities) ->
-    v1ao; ALDA0 kernel (method 0) or collinear/HF-only (method 2); no J
-    (`xtddft/SF_TDA.py:246-286`)."""
+    v1ao; ALDA0 kernel (method 0), multicollinear (method 1), or
+    collinear/HF-only (method 2); no J (`xtddft/SF_TDA.py:246-286`)."""
     env = ref.env
     spec = ref.spec
     eri = env.eri
     hyb, alpha, omega = ref.hyb, ref.alpha, ref.omega
     eri_w = env.eri_omega(omega) if (omega != 0 and abs(alpha - hyb) > 1e-12) else None
     has_xc = (
-        method == 0 and spec is not None and bool(spec.components)
+        method in (0, 1) and spec is not None and bool(spec.components)
     )
     if has_xc:
         ao = env.ao
-        fw = xci.sf_kernel_alda0(spec, env.grid_weights, _rho0_jnp(ref))
+        if method == 0:
+            fw = xci.sf_kernel_alda0(spec, env.grid_weights, _rho0_jnp(ref))
+            sf_apply = lambda dms: xci.sf_v1mat(ao, fw, dms)
+        else:
+            from xtddft_tpu.xc.mcol import sf_kernel_mcol, sf_v1mat_mcol
+
+            fH = sf_kernel_mcol(spec, env.grid_weights, _rho0_jnp(ref))
+            sf_apply = lambda dms: sf_v1mat_mcol(ao, fH, dms)
 
     def vresp(dms):
         v1 = jnp.zeros_like(dms)
         if has_xc:
-            v1 = v1 + xci.sf_v1mat(ao, fw, dms)
+            v1 = v1 + sf_apply(dms)
         if hyb != 0.0 or eri_w is not None:
             vk = hyb * jnp.einsum("prsq,xrs->xpq", eri, dms)
             if eri_w is not None:

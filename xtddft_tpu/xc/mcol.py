@@ -1,0 +1,139 @@
+"""Multicollinear spin-flip XC kernel (the reference's method=1 / 'mcol').
+
+The reference samples the collinear functional over spin directions with
+the external mcfun library (`xtddft/SF_TDA.py:916-1049`).  Here the kernel
+is derived in closed form from the multicollinear construction
+(Pu et al., Phys. Rev. Research 5, 013036):
+
+    e_mc(n, m_vec) = < e + sigma . de/dsigma >_Omega   at sigma = t * sigma0
+
+and the transverse second derivative collapses (integration by parts in
+the direction cosine t) to
+
+    f^sf_ab(r) = 1/2 * int_{-1}^{1} dt  d^2 e_col / dsigma_a dsigma_b
+                 evaluated at (n, grad n; s = t*m, grad s = t*grad m)
+
+with sigma = (s, grad s) the collinear spin variables.  Two exact
+properties follow and are used as tests:
+- for LDA functionals this is identically vxc_s/m, i.e. the ALDA0 kernel
+  (`xtddft/SF_TDA.py:84` without the GGA terms);
+- it is finite at closed-shell points (no 0/0, unlike ALDA0).
+
+The per-point Hessian in the 4 spin variables (s, grad s) comes from JAX
+autodiff of the same energy density used everywhere else (`xc/interface`),
+vmapped over (grid x t-samples) — TPU-native, no host library.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xtddft_tpu.xc import functionals as fl
+from xtddft_tpu.xc.interface import MASK_RHO
+from xtddft_tpu.xc.registry import XCSpec
+
+
+def _e_point_fn(spec: XCSpec):
+    comps = [(w, fl.FUNCTIONALS[name]) for w, name in spec.components]
+
+    def e_point(sv, n, gn):
+        """Energy density at one grid point; sv = [s, gs_x, gs_y, gs_z]."""
+        s = sv[0]
+        gs = sv[1:4]
+        ra = 0.5 * (n + s)
+        rb = 0.5 * (n - s)
+        ga = 0.5 * (gn + gs)
+        gb = 0.5 * (gn - gs)
+        gaa = ga @ ga
+        gab = ga @ gb
+        gbb = gb @ gb
+        out = 0.0
+        for w, f in comps:
+            out = out + w * f(ra, rb, gaa, gab, gbb)
+        return out
+
+    return e_point
+
+
+def sf_kernel_mcol(spec: XCSpec, weights, rho0, nt: int = 20):
+    """Weight-included multicollinear SF kernel matrix (ng, 4, 4) over the
+    (value, grad_x, grad_y, grad_z) components of the transition density."""
+    ra, rb, ga, gb = rho0
+    n = ra + rb
+    m = ra - rb
+    gn = ga + gb
+    gm = ga - gb
+    mask = (ra > MASK_RHO) | (rb > MASK_RHO)
+    w = jnp.where(mask, weights, 0.0)
+    n_s = jnp.where(mask, n, 1.0)
+    m_s = jnp.where(mask, m, 0.0)
+    gn_s = jnp.where(mask[None, :], gn, 0.0)
+    gm_s = jnp.where(mask[None, :], gm, 0.0)
+
+    e_point = _e_point_fn(spec)
+    hess = jax.hessian(e_point, argnums=0)
+
+    # Integrate (1/2) int_{-1}^{1} H(t) dt = int_0^1 H(t) dt (even integrand)
+    # with the substitution t = sin(pi u / 2): the cos weight tames the
+    # endpoint derivative singularities of LDA-type f_ss at full spin
+    # polarization ((1-t)^{-2/3} -> (1-t)^{-1/6} effective).
+    u, wu = np.polynomial.legendre.leggauss(nt)
+    u = 0.5 * (u + 1.0)
+    wu = 0.5 * wu
+    x = jnp.asarray(np.sin(0.5 * np.pi * u))
+    wt = jnp.asarray(wu * 0.5 * np.pi * np.cos(0.5 * np.pi * u))
+
+    sv0 = jnp.concatenate([m_s[None, :], gm_s], axis=0).T  # (ng, 4)
+    gn_T = gn_s.T  # (ng, 3)
+
+    def per_t(t):
+        def per_point(sv, n_, gn_):
+            return hess(t * sv, n_, gn_)
+
+        return jax.vmap(per_point)(sv0, n_s, gn_T)  # (ng, 4, 4)
+
+    H = jnp.tensordot(wt, jax.vmap(per_t)(x), axes=(0, 0))
+    # SF-TDA kernel = f_xx + f_yy = 2 * transverse second derivative (the
+    # reference's "*2.0 because kernel xx,yy parts", `SF_TDA.py:1004`);
+    # this is what makes the LDA limit equal (vxc_a-vxc_b)/(rho_a-rho_b).
+    return 2.0 * H * w[:, None, None]
+
+
+def sf_mcol_tensor(fxcH_w, ao, orb_o, orb_v):
+    """(ia|f_mc|jb) coupling tensor for the dense SF builders.
+
+    fxcH_w: (ng, 4, 4) weight-included kernel; ao: (4, ng, nao)."""
+    po = jnp.einsum("gp,pi->gi", ao[0], jnp.asarray(orb_o))
+    pv = jnp.einsum("gp,pa->ga", ao[0], jnp.asarray(orb_v))
+    dpo = jnp.einsum("xgp,pi->xgi", ao[1:4], jnp.asarray(orb_o))
+    dpv = jnp.einsum("xgp,pa->xga", ao[1:4], jnp.asarray(orb_v))
+    r0 = jnp.einsum("gi,ga->gia", po, pv)[None]
+    r1 = jnp.einsum("xgi,ga->xgia", dpo, pv) + jnp.einsum(
+        "gi,xga->xgia", po, dpv
+    )
+    R = jnp.concatenate([r0, r1], axis=0)  # (4, g, i, a)
+    return jnp.einsum("cgia,gcd,dgjb->iajb", R, fxcH_w, R, optimize=True)
+
+
+def sf_v1mat_mcol(ao, fxcH_w, dm1s):
+    """Matrix-free SF response with the multicollinear kernel.
+
+    dm1s: (nset, nao, nao) alpha->beta transition DMs (non-hermitian);
+    returns (nset, nao, nao)."""
+
+    def one(dm1):
+        r0 = jnp.einsum("gi,ij,gj->g", ao[0], dm1, ao[0])
+        r1 = jnp.einsum("xgi,ij,gj->xg", ao[1:4], dm1, ao[0]) + jnp.einsum(
+            "gi,ij,xgj->xg", ao[0], dm1, ao[1:4]
+        )
+        rho1 = jnp.concatenate([r0[None], r1], axis=0)  # (4, g)
+        wv = jnp.einsum("gab,bg->ag", fxcH_w, rho1)
+        v = jnp.einsum("g,gi,gj->ij", wv[0], ao[0], ao[0])
+        vg = jnp.einsum("xg,xgi,gj->ij", wv[1:4], ao[1:4], ao[0])
+        return v + vg + vg.T
+    # note: the gradient part is symmetrized ((grad mu) nu + mu (grad nu)),
+    # matching `nr_uks_fxc_sf_tda_mc` (`SF_TDA.py:1000-1027`)
+
+    return jax.vmap(one)(dm1s)
