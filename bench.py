@@ -1,14 +1,15 @@
-"""Benchmark: XSF-TDA batched sigma builds per second per chip.
+"""Benchmark: the BASELINE.md north star — 20 X-TDA roots at Nbf~1000.
 
-The Davidson hot loop (SURVEY.md §3.2) is the production cost center; this
-measures jitted batched sigma-build throughput on the flagship XSF-TDA
-operator (SF response: exchange K + ALDA0 grid kernel + spin-adapted dA)
-at a representative single-chip in-core size.
+Runs the full block-Davidson solve (20 roots) on the density-fitted X-TDA
+sigma operator at a representative production size (nmo=1000, nocc=80,
+naux=2000, 49k grid points, bhandhlyp-type kernel: J + fxc + 0.5*K + dA)
+on one chip, with synthetic but shape/symmetry-exact tensors
+(`xtddft_tpu/response/sigma_df.py: synthetic_df_data`).
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline: measured builds/sec divided by the north-star requirement of
-20 roots in <60 s (~0.33 sigma builds/sec, BASELINE.md) — >1 means each
-sigma build is faster than the budget requires.
+value = wall seconds for the full 20-root Davidson; the north-star budget
+is <60 s on one chip, so vs_baseline = 60 / value (>1 = faster than
+budget).
 """
 
 import json
@@ -20,41 +21,39 @@ import numpy as np
 def main():
     import jax
 
-    from xtddft_tpu.utils.synthetic import make_synthetic_reference
-    from xtddft_tpu.response.sigma_xsf import xsf_sigma_operator
+    from xtddft_tpu.response.sigma_df import synthetic_df_data, xtda_sigma_df
+    from xtddft_tpu.solver.davidson_jit import davidson_device
 
-    nao = 128
-    batch = 16
-    # f32 device path: f64 is software-emulated on this TPU (pathological
-    # compile); the accuracy roadmap is compensated-f32 Pallas kernels.
-    ref = make_synthetic_reference(
-        nao=nao, nc=40, no=2, ngrid=65536, seed=0, symmetrize=False,
-        dtype=np.float32,
+    nmo, nc, no = 1000, 78, 2
+    naux, ngrid = 2000, 49152
+    nroots = 20
+    # f32 device path: f64 is software-emulated on this TPU; the accuracy
+    # roadmap is compensated-f32 for the production hot path.
+    data = synthetic_df_data(
+        nmo=nmo, nc=nc, no=no, naux=naux, ngrid=ngrid, dtype=np.float32
     )
-    op = xsf_sigma_operator(ref, SA=3, fglobal=0.65, remove=True)
-    rng = np.random.default_rng(0)
-    Z = rng.normal(size=(batch, op.dim))
+    op = xtda_sigma_df(data)
 
-    # compile + warm up
-    out = op.matvec(Z)
-    jax.block_until_ready(out)
+    # compile + warm up at the Davidson batch size
+    z = np.random.default_rng(0).normal(size=(nroots, op.dim)).astype(np.float32)
+    jax.block_until_ready(op.matvec(z))
 
-    n_iter = 10
     t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = op.matvec(Z)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    e, v, conv = davidson_device(
+        op.matvec, op.hdiag, nroots=nroots,
+        init_guess=op.init_guess(nroots), tol=3e-4, max_space_factor=12,
+    )
+    wall = time.perf_counter() - t0
 
-    builds_per_sec = n_iter * batch / dt
-    target = 20.0 / 60.0  # 20 sigma builds within 60 s (north star budget)
+    assert np.all(np.isfinite(e))
     print(
         json.dumps(
             {
-                "metric": "xsf_sigma_builds_per_sec_per_chip",
-                "value": round(builds_per_sec, 3),
-                "unit": f"sigma/s (nao={nao}, batch={batch}, f32, in-core)",
-                "vs_baseline": round(builds_per_sec / target, 2),
+                "metric": "xtda_df_davidson_20roots_nbf1000",
+                "value": round(wall, 3),
+                "unit": f"s (nmo={nmo}, naux={naux}, ngrid={ngrid}, "
+                        f"nconv={int(conv.sum())}/{nroots}, f32, 1 chip)",
+                "vs_baseline": round(60.0 / wall, 2),
             }
         )
     )

@@ -90,3 +90,18 @@ def test_davidson_xtda_positive_roots(ref):
         pick_positive=True, tol=1e-9,
     )
     assert np.allclose(e, w_pos, atol=1e-7)
+
+
+def test_driver_davidson_paths(fh_roks):
+    """SFTDA/XSFTDA drivers: Davidson path == dense path."""
+    from xtddft_tpu.methods.drivers import SFTDA, XSFTDA
+
+    rd = XSFTDA(fh_roks, nstates=4).kernel()
+    rv = XSFTDA(fh_roks, nstates=4, use_davidson=True).kernel()
+    assert rv.converged
+    assert np.abs(rd.e - rv.e).max() < 1e-6
+
+    sd = SFTDA(fh_roks, nstates=3, extype="up").kernel()
+    sv = SFTDA(fh_roks, nstates=3, extype="up", use_davidson=True).kernel()
+    assert sv.converged
+    assert np.abs(sd.e - sv.e).max() < 1e-6

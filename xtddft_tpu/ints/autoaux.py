@@ -17,24 +17,35 @@ from xtddft_tpu.chem import basis as basis_registry
 from xtddft_tpu.ints.shell import BasisLayout, Shell, nsph
 
 
-def autoaux_shells(element_shells, beta: float = 2.2, l_cap: int = 4):
-    """[(l, exps)] even-tempered aux shells from [(l, exps, coefs)]."""
+def autoaux_shells(element_shells, beta: float = 2.2, l_cap: int = 4,
+                   extra_l: int = 1):
+    """[(l, exps)] even-tempered aux shells from [(l, exps, coefs)].
+
+    ``extra_l`` adds angular momenta beyond the one-center product limit
+    2*lmax: atom-centered aux functions cannot exactly span *off-center*
+    (bond) orbital products, and one extra l drops the max ERI fitting
+    error by ~40x (measured on OH/6-31G: 2.4e-3 -> 5.7e-5)."""
     by_l: dict[int, np.ndarray] = {}
     for l, exps, _ in element_shells:
         by_l.setdefault(l, [])
         by_l[l].append(np.asarray(exps))
     by_l = {l: np.concatenate(v) for l, v in by_l.items()}
     lmax = max(by_l)
+    all_sums = np.concatenate(
+        [
+            (e1[:, None] + e2[None, :]).ravel()
+            for e1 in by_l.values()
+            for e2 in by_l.values()
+        ]
+    )
     out = []
-    for laux in range(min(2 * lmax, l_cap) + 1):
+    for laux in range(min(2 * lmax + extra_l, l_cap) + 1):
         sums = []
         for l1, e1 in by_l.items():
             for l2, e2 in by_l.items():
                 if abs(l1 - l2) <= laux <= l1 + l2:
                     sums.append((e1[:, None] + e2[None, :]).ravel())
-        if not sums:
-            continue
-        s = np.concatenate(sums)
+        s = np.concatenate(sums) if sums else all_sums
         amin = max(s.min() * 0.6, 0.02)
         amax = min(s.max() * 1.2, 5e6)
         n = max(1, int(np.ceil(np.log(amax / amin) / np.log(beta))) + 1)
@@ -43,12 +54,14 @@ def autoaux_shells(element_shells, beta: float = 2.2, l_cap: int = 4):
     return out
 
 
-def autoaux_layout(mol: Molecule, beta: float = 2.2, l_cap: int = 4) -> BasisLayout:
+def autoaux_layout(mol: Molecule, beta: float = 2.2, l_cap: int = 4,
+                   extra_l: int = 1) -> BasisLayout:
     shells = []
     offset = 0
     for ia, sym in enumerate(mol.symbols):
         el_shells = basis_registry.get_element_basis(mol.basis, sym)
-        for l, exps in autoaux_shells(el_shells, beta=beta, l_cap=l_cap):
+        for l, exps in autoaux_shells(el_shells, beta=beta, l_cap=l_cap,
+                                      extra_l=extra_l):
             for e in exps:
                 ex = np.array([e])
                 # normalized single primitive

@@ -139,24 +139,38 @@ class SFTDA(_Base):
     """Spin-flip TDA; extype='up' (Sf=Si+1) or 'down' (Sf=Si-1)."""
 
     def __init__(self, mf, nstates: int = 5, extype: str = "down",
-                 method: int = 0):
+                 method: int = 0, use_davidson: bool = False):
         super().__init__(mf, nstates)
         self.extype = extype
         self.method = method
+        self.use_davidson = use_davidson
 
     def kernel(self) -> ExcitationResult:
         ref = self.ref
-        if self.extype == "up":
-            A = dense.sf_up_dense(ref, self.method)
+        converged = True
+        if self.use_davidson:
+            from xtddft_tpu.response.sigma import sf_sigma_operator
+            from xtddft_tpu.solver.davidson import davidson
+
+            op = sf_sigma_operator(ref, self.extype, self.method)
+            e, vv, conv = davidson(
+                op.matvec, op.hdiag, nroots=self.nstates,
+                init_guess=op.init_guess(self.nstates),
+            )
+            v = op.to_blocked(vv)
+            converged = bool(np.all(conv))
         else:
-            A = dense.sf_down_dense(ref, self.method)
-        e, v = np.linalg.eigh(A)
+            if self.extype == "up":
+                A = dense.sf_up_dense(ref, self.method)
+            else:
+                A = dense.sf_down_dense(ref, self.method)
+            e, v = np.linalg.eigh(A)
         n = min(self.nstates, e.shape[0])
         e, v = e[:n], v[:, :n]
         ds2 = None
         if self.extype == "down" and ref.restricted_open:
             ds2 = spin.xsf_delta_s2_roks(ref, v)
-        return ExcitationResult(e=e, v=v, ds2=ds2)
+        return ExcitationResult(e=e, v=v, ds2=ds2, converged=converged)
 
 
 class XSFTDA(_Base):
@@ -167,10 +181,11 @@ class XSFTDA(_Base):
     """
 
     def __init__(self, mf, nstates: int = 5, SA: int | None = None,
-                 method: int = 0):
+                 method: int = 0, use_davidson: bool = False):
         super().__init__(mf, nstates)
         self.SA = SA if SA is not None else (3 if self.ref.restricted_open else 0)
         self.method = method
+        self.use_davidson = use_davidson
 
     def kernel(
         self,
@@ -190,22 +205,38 @@ class XSFTDA(_Base):
             else:
                 cx = ref.hyb + (ref.alpha - ref.hyb) * math.erf(ref.omega)
             fglobal = (1.0 - d_lda) * cx + d_lda
-        A, vects = dense.xsf_dense(
-            ref, SA=self.SA, foo=foo, fglobal=fglobal, method=self.method,
-            remove=remove,
-        )
-        e, v = np.linalg.eigh(A)
-        n = min(n, e.shape[0])
-        e, v = e[:n], v[:, :n]
-        if vects is not None:
-            d3 = ref.nc * ref.nv + ref.nc * ref.no + ref.no * ref.nv
-            v_full = np.concatenate([v[:d3], vects @ v[d3:]], axis=0)
+        converged = True
+        if self.use_davidson:
+            from xtddft_tpu.response.sigma_xsf import xsf_sigma_operator
+            from xtddft_tpu.solver.davidson import davidson
+
+            op = xsf_sigma_operator(
+                ref, SA=self.SA, foo=foo, fglobal=fglobal,
+                method=self.method, remove=remove,
+            )
+            n = min(n, op.dim)
+            e, vv, conv = davidson(
+                op.matvec, op.hdiag, nroots=n, init_guess=op.init_guess(n)
+            )
+            v_full = op.to_blocked(vv)
+            converged = bool(np.all(conv))
         else:
-            v_full = v
+            A, vects = dense.xsf_dense(
+                ref, SA=self.SA, foo=foo, fglobal=fglobal, method=self.method,
+                remove=remove,
+            )
+            e, v = np.linalg.eigh(A)
+            n = min(n, e.shape[0])
+            e, v = e[:n], v[:, :n]
+            if vects is not None:
+                d3 = ref.nc * ref.nv + ref.nc * ref.no + ref.no * ref.nv
+                v_full = np.concatenate([v[:d3], vects @ v[d3:]], axis=0)
+            else:
+                v_full = v
         if ref.restricted_open and self.SA != 0:
             ds2 = None  # spin-adapted states: dS2 fixed by construction
         elif ref.restricted_open:
             ds2 = spin.xsf_delta_s2_roks(ref, v_full)
         else:
             ds2 = spin.xsf_delta_s2_uks(ref, v_full)
-        return ExcitationResult(e=e, v=v_full, ds2=ds2)
+        return ExcitationResult(e=e, v=v_full, ds2=ds2, converged=converged)

@@ -1,0 +1,384 @@
+"""Density-fitted MO-basis sigma operators (the large-Nbf TPU path).
+
+The reference's Davidson hot loop rebuilds J/K from AO-direct libcint
+integrals every iteration (`mf.get_jk` inside `vind`, `xtddft/XTDA.py:
+520-543`) — infeasible to translate at Nbf~1000 (nao^4 ERIs are TBs).
+The TPU-native answer (SURVEY.md §7 hard part 2) is density fitting with
+an even-tempered AutoAux basis: one (P|mu nu) build at setup, then every
+sigma build is a handful of MXU matmuls over the fitted MO tensor
+
+    B[P, p, q]  (metric^{-1/2}-dressed),
+
+    J:  t_P   = B[P,ov] . z          ;  v += B[ov,P] . t_P
+    K:  T[P,o,v'] = B_vv[P,v',v] z_ov;  v -= B_oo[P,o,o'] T[P,o,v']
+
+with cost O(naux * nocc * nvir * nmo * batch) per Davidson iteration —
+linear in naux instead of quartic in nao.  The fxc quadrature is factored
+through MO values on the grid (no AO-basis density matrices are ever
+formed), so HBM holds only B (optionally bf16 with f32 accumulation),
+the MO grid table, and the trial vectors.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xtddft_tpu.response.reference_state import Reference
+from xtddft_tpu.response.sigma import SigmaOperator
+from xtddft_tpu.xc import interface as xci
+from xtddft_tpu.xc.registry import XCSpec
+
+
+@dataclasses.dataclass
+class DFData:
+    """Everything the DF sigma path needs, device-resident.
+
+    B: (naux, nmo, nmo) fitted MO integrals, metric-dressed so that
+       (pq|rs) ~= sum_P B[P,p,q] B[P,r,s].
+    phi: (4, ngrid, nmo) MO values+gradients on the DFT grid (None for
+       hybrid-only references).
+    """
+
+    nc: int
+    no: int
+    nv: int
+    B: jnp.ndarray
+    fock_mo: np.ndarray  # (2, nmo, nmo) alpha/beta MO Fock
+    hyb: float
+    spec: XCSpec | None = None
+    phi: jnp.ndarray | None = None
+    grid_w: jnp.ndarray | None = None
+    rho0: tuple | None = None
+    fock_hf_mo: np.ndarray | None = None  # (2, nmo, nmo) for dA
+
+    @property
+    def nmo(self):
+        return self.B.shape[-1]
+
+
+def build_df_data(ref: Reference, beta: float = 2.2) -> DFData:
+    """Real-molecule DF data from a converged Reference (AutoAux fit)."""
+    from xtddft_tpu.ints.autoaux import autoaux_layout
+    from xtddft_tpu.ints.two_electron import eri_2c, eri_3c
+
+    env = ref.env
+    if ref.omega != 0.0:
+        raise NotImplementedError("range-separated hybrids need a second "
+                                  "omega-attenuated B tensor (todo)")
+    aux = autoaux_layout(env.mol, beta=beta)
+    j3c = eri_3c(env.layout, aux)  # (naux, nao, nao)
+    j2c = eri_2c(aux)
+    w, U = np.linalg.eigh(j2c)
+    keep = w > 1e-10
+    j2c_isqrt = (U[:, keep] / np.sqrt(w[keep])[None, :]) @ U[:, keep].T
+    B_ao = np.einsum("PQ,Qmn->Pmn", j2c_isqrt, j3c)
+    mo = ref.mo_a
+    B = jnp.asarray(np.einsum("Pmn,mp,nq->Ppq", B_ao, mo, mo, optimize=True))
+    phi = grid_w = rho0 = None
+    if ref.spec is not None and ref.spec.components:
+        phi = jnp.einsum("xgm,mp->xgp", env.ao, jnp.asarray(mo))
+        grid_w = env.grid_weights
+        from xtddft_tpu.response.sigma import _rho0_jnp
+
+        rho0 = _rho0_jnp(ref)
+    fock_mo = np.stack([ref.fock_a_mo, ref.fock_b_mo])
+    fock_hf = (
+        np.stack([ref.fock_a_hf_mo, ref.fock_b_hf_mo])
+        if ref.fock_a_hf_mo is not None
+        else None
+    )
+    return DFData(
+        nc=ref.nc, no=ref.no, nv=ref.nv, B=B, fock_mo=fock_mo,
+        hyb=ref.hyb, spec=ref.spec, phi=phi, grid_w=grid_w, rho0=rho0,
+        fock_hf_mo=fock_hf,
+    )
+
+
+def synthetic_df_data(nmo=1000, nc=78, no=2, naux=2000, ngrid=49152,
+                      xc: str = "bhandhlyp", seed: int = 0,
+                      dtype=np.float32, b_dtype=None) -> DFData:
+    """Random but well-formed DF data for benchmarks / compile checks."""
+    from xtddft_tpu.xc import registry as xc_registry
+
+    rng = np.random.default_rng(seed)
+    nv = nmo - nc - no
+    # generate B directly in the target dtype on device (a host f64 array
+    # at production sizes would be ~16 GB)
+    bd = b_dtype if b_dtype is not None else dtype
+    key = jax.random.PRNGKey(seed)
+    # symmetric by construction (B_P = G_P G_P^T) without a second
+    # full-size buffer
+    k_rank = 8
+    G = jax.random.normal(key, (naux, nmo, k_rank), dtype=jnp.float32)
+
+    @jax.jit
+    def _make_b(G):
+        return (
+            jnp.einsum("Pik,Pjk->Pij", G, G) / np.sqrt(naux * nmo * k_rank)
+        ).astype(bd)
+
+    B = _make_b(G)
+    spec = xc_registry.resolve(xc)
+    # fock matrices stay host-side (small); grid tensors are generated on
+    # device — the host->device tunnel can be only a few MB/s, so a 0.8 GB
+    # host phi array would take minutes to ship
+    e = np.sort(rng.uniform(-20.0, 5.0, size=nmo))
+    fa = np.diag(e) + 1e-3 * rng.normal(size=(nmo, nmo))
+    fa = 0.5 * (fa + fa.T)
+    fb = fa + 1e-3 * rng.normal(size=(nmo, nmo))
+    fb = 0.5 * (fb + fb.T)
+    fhfa = fa + 1e-3 * rng.normal(size=(nmo, nmo))
+    fhfa = 0.5 * (fhfa + fhfa.T)
+    fhfb = fb + 1e-3 * rng.normal(size=(nmo, nmo))
+    fhfb = 0.5 * (fhfb + fhfb.T)
+    ks = jax.random.split(jax.random.PRNGKey(seed + 1), 6)
+    phi = jax.random.normal(ks[0], (4, ngrid, nmo), dtype=dtype) / float(
+        np.sqrt(nmo)
+    )
+    w = jax.random.uniform(ks[1], (ngrid,), dtype=dtype, minval=0.01, maxval=1.0)
+    ra = jax.random.uniform(ks[2], (ngrid,), dtype=dtype, minval=0.05, maxval=1.0)
+    rb = ra * jax.random.uniform(ks[3], (ngrid,), dtype=dtype, minval=0.5, maxval=1.0)
+    ga = 0.1 * jax.random.normal(ks[4], (3, ngrid), dtype=dtype)
+    gb = 0.1 * jax.random.normal(ks[5], (3, ngrid), dtype=dtype)
+    return DFData(
+        nc=nc, no=no, nv=nv,
+        B=B,
+        fock_mo=np.stack([fa, fb]),
+        hyb=spec.hyb,
+        spec=spec,
+        phi=phi,
+        grid_w=w,
+        rho0=(ra, rb, ga, gb),
+        fock_hf_mo=np.stack([fhfa, fhfb]),
+    )
+
+
+def xtda_sigma_df(data: DFData, spin_adapt: bool = True,
+                  dtype=None) -> SigmaOperator:
+    """Spin-conserving (U/X-)TDA sigma over DF tensors.
+
+    Same natural layout and dA math as `sigma.spin_conserving_sigma`
+    (alpha (nocca x nvira) rows then beta (noccb x nvirb)), with J/K from
+    B and fxc through the MO-grid factorization."""
+    nc, no, nv = data.nc, data.no, data.nv
+    nmo = data.nmo
+    nocca, nvira = nc + no, nv
+    noccb, nvirb = nc, no + nv
+    if dtype is None:
+        dtype = data.B.dtype
+    acc = jnp.float32 if dtype in (jnp.bfloat16, np.dtype("bfloat16")) else dtype
+    hyb = data.hyb
+    has_xc = data.spec is not None and bool(data.spec.components) and data.phi is not None
+    # All large tensors are passed as jit ARGUMENTS via this pytree —
+    # closure-captured device arrays get embedded as XLA constants, which
+    # compiles ~100x slower on TPU.
+    consts = {
+        "B": data.B,
+        "fa": jnp.asarray(data.fock_mo[0], dtype=acc),
+        "fb": jnp.asarray(data.fock_mo[1], dtype=acc),
+    }
+    if has_xc:
+        from xtddft_tpu.xc.interface import _sanitize
+
+        respond = xci.make_fxc_jvp(data.spec)
+        w_s, rho_s, mask = _sanitize(data.grid_w, data.rho0)
+        # chunk the grid axis (the reference's ni.block_loop analog): the
+        # ngrid x nvir intermediates of the rho1 build must never
+        # materialize at full grid size.  Pad with zero-weight points.
+        ngrid = int(w_s.shape[0])
+        gc = min(4096, ngrid)
+        ngc = -(-ngrid // gc)
+        pad = ngc * gc - ngrid
+
+        def _chunked(a, fill=0.0):
+            a = jnp.asarray(a)
+            if pad:
+                width = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+                a = jnp.pad(a, width, constant_values=fill)
+            return a.reshape(ngc, gc, *a.shape[1:])
+
+        consts["phi_c"] = jnp.moveaxis(
+            _chunked(jnp.moveaxis(data.phi, 0, 1)), 2, 1
+        )  # (ngc, 4, gc, nmo)
+        consts["w_c"] = _chunked(w_s)
+        ra_s, rb_s, ga_s, gb_s = rho_s
+        consts["rho_c"] = (
+            _chunked(ra_s, 1.0), _chunked(rb_s, 1.0),
+            jnp.moveaxis(_chunked(jnp.moveaxis(ga_s, 0, 1)), 2, 1),
+            jnp.moveaxis(_chunked(jnp.moveaxis(gb_s, 0, 1)), 2, 1),
+        )
+        consts["mask_c"] = _chunked(mask)
+
+    dA = spin_adapt and data.fock_hf_mo is not None and no > 0
+    if dA:
+        si = 0.5 * no
+        dF = data.fock_hf_mo[1] - data.fock_hf_mo[0]
+        consts["dFV"] = jnp.asarray(dF[nc + no :, nc + no :], dtype=acc)
+        consts["dFC"] = jnp.asarray(dF[:nc, :nc], dtype=acc)
+        f1 = float(0.5 * (1.0 - np.sqrt((si + 1) / si) + 1.0 / (2 * si)))
+        f2 = float(0.5 * (-1.0 + np.sqrt((si + 1) / si) + 1.0 / (2 * si)))
+        fx = float(0.5 / (2.0 * si))
+
+    na = nocca * nvira
+    dim = na + noccb * nvirb
+    oa, va = slice(0, nocca), slice(nocca, None)
+    ob, vb = slice(0, noccb), slice(noccb, None)
+
+    def _aux_chunk(naux, nz, nocc, nvir, budget=1.5e8):
+        """Largest divisor of naux keeping the K chunk intermediate
+        (nz*chunk*nocc*nvir elements) under budget."""
+        target = int(max(1, budget // max(1, nz * nocc * nvir)))
+        for c in range(min(target, naux), 0, -1):
+            if naux % c == 0:
+                return c
+        return 1
+
+    def _jk(B, z, o, v):
+        """(t_P contribution, K applied) for one spin block.
+
+        The K intermediate T[x,P,j,a] at full naux would be
+        batch*naux*nocc*nvir (>10 GB at production sizes), so the aux axis
+        is processed in lax.scan chunks with accumulation (chunk size a
+        divisor of naux: padding would force a full copy of B)."""
+        naux = B.shape[0]
+        nz, nocc, nvir = z.shape
+        chunk = _aux_chunk(naux, nz, nocc, nvir)
+        Br = B.reshape(naux // chunk, chunk, *B.shape[1:])
+
+        def body(K_acc, Bc):
+            t_c = jnp.einsum("Pjb,xjb->xP", Bc[:, o, v], z)
+            T = jnp.einsum("Pab,xjb->xPja", Bc[:, v, v], z)
+            K_acc = K_acc + jnp.einsum("Pji,xPja->xia", Bc[:, o, o], T)
+            return K_acc, t_c
+
+        K0 = jnp.zeros((nz, nocc, nvir), dtype=z.dtype)
+        K, t_chunks = jax.lax.scan(body, K0, Br)
+        t = jnp.moveaxis(t_chunks, 0, 1).reshape(nz, -1)
+        return t, K
+
+    def _fxc(C, za, zb):
+        """Grid-chunked fxc response (lax.scan over grid blocks); all
+        intermediates are (batch, gc, nocc)-sized."""
+
+        def body(acc, xs):
+            phi_ch, w_ch, rho_ch, mask_ch = xs
+            p0 = phi_ch[0]
+            p1 = phi_ch[1:4]
+
+            def rho1(z, o, v):
+                tmp = jnp.einsum("xov,gv->xgo", z, p0[:, v])  # (x, gc, nocc)
+                r = jnp.einsum("xgo,go->xg", tmp, p0[:, o])
+                g = jnp.einsum("xgo,ygo->xyg", tmp, p1[:, :, o])
+                tmp2 = jnp.einsum("xov,ygv->xygo", z, p1[:, :, v])
+                g = g + jnp.einsum("xygo,go->xyg", tmp2, p0[:, o])
+                return (
+                    jnp.where(mask_ch[None], r, 0.0),
+                    jnp.where(mask_ch[None, None], g, 0.0),
+                )
+
+            ra1, ga1 = rho1(za, oa, va)
+            rb1, gb1 = rho1(zb, ob, vb)
+
+            def one(args):
+                return respond(w_ch, rho_ch, args)
+
+            dwva, dwvb, dwga, dwgb = jax.vmap(one)((ra1, rb1, ga1, gb1))
+
+            def back(dwv, dwg, o, v):
+                tmp = jnp.einsum("xg,go->xgo", dwv, p0[:, o])
+                tmp = tmp + jnp.einsum("xyg,ygo->xgo", dwg, p1[:, :, o])
+                r = jnp.einsum("xgo,gv->xov", tmp, p0[:, v])
+                tmp2 = jnp.einsum("xyg,go->xygo", dwg, p0[:, o])
+                r = r + jnp.einsum("xygo,ygv->xov", tmp2, p1[:, :, v])
+                return r
+
+            va_acc, vb_acc = acc
+            return (
+                va_acc + back(dwva, dwga, oa, va),
+                vb_acc + back(dwvb, dwgb, ob, vb),
+            ), None
+
+        nz = za.shape[0]
+        acc0 = (
+            jnp.zeros((nz, nocca, nvira), dtype=za.dtype),
+            jnp.zeros((nz, noccb, nvirb), dtype=zb.dtype),
+        )
+        xs = (C["phi_c"], C["w_c"], C["rho_c"], C["mask_c"])
+        (fxa, fxb), _ = jax.lax.scan(body, acc0, xs)
+        return fxa, fxb
+
+    @jax.jit
+    def _matvec(C, zs):
+        B = C["B"]
+        fa = C["fa"]
+        fb = C["fb"]
+        zs = jnp.asarray(zs, dtype=acc)
+        nz = zs.shape[0]
+        za = zs[:, :na].reshape(nz, nocca, nvira)
+        zb = zs[:, na:].reshape(nz, noccb, nvirb)
+        za_b = za.astype(B.dtype)
+        zb_b = zb.astype(B.dtype)
+        ta, Ka = _jk(B, za_b, oa, va)
+        tb, Kb = _jk(B, zb_b, ob, vb)
+        t = ta + tb
+        v1a = jnp.einsum("Pia,xP->xia", B[:, oa, va], t).astype(acc)
+        v1b = jnp.einsum("Pia,xP->xia", B[:, ob, vb], t).astype(acc)
+        v1a = v1a - hyb * Ka.astype(acc)
+        v1b = v1b - hyb * Kb.astype(acc)
+        if has_xc:
+            fxa, fxb = _fxc(C, za.astype(C["phi_c"].dtype), zb.astype(C["phi_c"].dtype))
+            v1a = v1a + fxa.astype(acc)
+            v1b = v1b + fxb.astype(acc)
+        v1a = v1a + jnp.einsum("xib,ab->xia", za, fa[va, va]) - jnp.einsum(
+            "xja,ij->xia", za, fa[oa, oa]
+        )
+        v1b = v1b + jnp.einsum("xib,ab->xia", zb, fb[vb, vb]) - jnp.einsum(
+            "xja,ij->xia", zb, fb[ob, ob]
+        )
+        if dA:
+            dFV = C["dFV"]
+            dFC = C["dFC"]
+            zac = za[:, :noccb, :]
+            zbv = zb[:, :, -nvira:]
+            coup_a = f1 * jnp.einsum("xib,ab->xia", zac, dFV) + f2 * jnp.einsum(
+                "xja,ij->xia", zac, dFC
+            )
+            cross_b = fx * (
+                jnp.einsum("xib,ab->xia", zbv, dFV)
+                + jnp.einsum("xja,ij->xia", zbv, dFC)
+            )
+            coup_b = f2 * jnp.einsum("xib,ab->xia", zbv, dFV) + f1 * jnp.einsum(
+                "xja,ij->xia", zbv, dFC
+            )
+            cross_a = fx * (
+                jnp.einsum("xib,ab->xia", zac, dFV)
+                + jnp.einsum("xja,ij->xia", zac, dFC)
+            )
+            v1a = v1a.at[:, :noccb, :].add(coup_a - cross_b)
+            v1b = v1b.at[:, :, -nvira:].add(coup_b - cross_a)
+        return jnp.concatenate(
+            [v1a.reshape(nz, -1), v1b.reshape(nz, -1)], axis=1
+        )
+
+    def matvec(zs):
+        return _matvec(consts, zs)
+
+    ea = np.diag(data.fock_mo[0])
+    eb = np.diag(data.fock_mo[1])
+    hdiag = np.concatenate([
+        (ea[nocca:][None, :] - ea[:nocca][:, None]).ravel(),
+        (eb[noccb:][None, :] - eb[:noccb][:, None]).ravel(),
+    ])
+
+    def to_blocked(v):
+        top = v[:na]
+        beta = v[na:].reshape(noccb, nvirb, -1)
+        co = beta[:, :no].reshape(noccb * no, -1)
+        cv = beta[:, no:].reshape(noccb * nv, -1)
+        return np.concatenate([top, co, cv], axis=0)
+
+    return SigmaOperator(matvec=matvec, hdiag=hdiag, dim=dim, _to_blocked=to_blocked)

@@ -32,8 +32,14 @@ def davidson(
     pick_positive: bool = False,
     pos_threshold: float = 1e-3,
     verbose: bool = False,
+    pad_batches: bool = True,
 ):
-    """Returns (e (nroots,), v (dim, nroots), converged (nroots,) bool)."""
+    """Returns (e (nroots,), v (dim, nroots), converged (nroots,) bool).
+
+    pad_batches: pad every matvec call to a fixed trial-batch size so the
+    jitted sigma build compiles exactly once (varying batch shapes force
+    an XLA recompile per Davidson iteration — tens of seconds each on TPU).
+    """
     hdiag = np.asarray(hdiag)
     dim = hdiag.shape[0]
     nroots = min(nroots, dim)
@@ -43,6 +49,17 @@ def davidson(
         init_guess[np.arange(nroots), idx] = 1.0
     X = np.asarray(init_guess)
     max_space = min(dim, max(max_space_factor * nroots, nroots + 10))
+
+    if pad_batches:
+        bucket = max(nroots, X.shape[0])
+        _mv = matvec
+
+        def matvec(xs):
+            n = xs.shape[0]
+            if n >= bucket:
+                return _mv(xs)
+            pad = np.zeros((bucket - n, dim), dtype=xs.dtype)
+            return np.asarray(_mv(np.vstack([xs, pad])))[:n]
 
     V = np.zeros((0, dim))  # orthonormal basis (rows)
     AV = np.zeros((0, dim))

@@ -1,0 +1,186 @@
+"""Device-resident block Davidson (the TPU production eigensolver).
+
+The host-subspace Davidson (`solver/davidson.py`, mirroring the
+reference's vendored `xtddft/utils/Davidson.py`) moves every trial batch
+and sigma result host<->device each iteration — through a remote-TPU
+tunnel that costs seconds per call.  Here the subspace basis V, the sigma
+results AV, the residuals and the preconditioned expansions all live on
+device; per iteration only the tiny projected matrix H and the residual
+norms cross to host (the Rayleigh-Ritz eigensolve of H is microscopic and
+stays on host in f64).
+
+Every device buffer has a FIXED shape (V/AV preallocated at max_space,
+expansion blocks padded to the root count): on a remote-compile TPU
+backend each distinct shape costs a full XLA compile round trip, so all
+kernels compile exactly once.  Orthonormalization is CholeskyQR2 (pure
+matmuls; jnp.linalg.qr of a tall matrix is pathologically slow on TPU).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.jit
+def _expand(V, AV, X, ns):
+    """Orthonormalize X (nb, dim) against the valid rows of V and write the
+    result into rows [ns, ns+nb).  Invalid rows of V are zero, so the
+    projection against the full buffer is exact."""
+    X = X - (X @ V.T) @ V
+    X = X - (X @ V.T) @ V
+    eps = 1e-10 * jnp.max(jnp.sum(X * X, axis=1)) + 1e-30
+    eye = jnp.eye(X.shape[0], dtype=X.dtype)
+
+    def chol_pass(Y):
+        G = Y @ Y.T + eps * eye
+        L = jnp.linalg.cholesky(G)
+        return jax.scipy.linalg.solve_triangular(L, Y, lower=True)
+
+    Xo = chol_pass(chol_pass(X))
+    V = jax.lax.dynamic_update_slice(V, Xo, (ns, 0))
+    return V, Xo
+
+
+@jax.jit
+def _update_av(AV, AX, ns):
+    return jax.lax.dynamic_update_slice(AV, AX, (ns, 0))
+
+
+@jax.jit
+def _project(V, AV):
+    """(H, S) subspace projections; invalid rows/cols are zero.  S is
+    needed because f32 orthogonality degrades over many cycles — solving
+    the generalized problem on host keeps the Ritz values variational."""
+    return V @ AV.T, V @ V.T
+
+
+@jax.jit
+def _ritz_precond(V, AV, s, e, hdiag, mask, fill):
+    """One fused device call per cycle: Ritz vectors, residual norms, and
+    the preconditioned expansion block (masked to unconverged roots, with
+    random refill rows to keep the block full-rank).  s is (max_space, nr)
+    with zeros on invalid rows."""
+    xs = s.T @ V
+    ax = s.T @ AV
+    r = ax - e[:, None] * xs
+    rnorm2 = jnp.sum(r * r, axis=1)
+    denom = hdiag[None, :] - e[:, None]
+    denom = jnp.where(jnp.abs(denom) < 1e-8, 1e-8, denom)
+    X = (r / denom) * mask[:, None] + (1.0 - mask)[:, None] * fill
+    return xs, X, rnorm2
+
+
+def davidson_device(
+    matvec,
+    hdiag,
+    nroots: int = 5,
+    init_guess=None,
+    tol: float = 1e-5,
+    max_cycle: int = 100,
+    max_space_factor: int = 6,
+    pick_positive: bool = False,
+    pos_threshold: float = 1e-3,
+    verbose: bool = False,
+):
+    """Returns (e (nroots,), v (dim, nroots) np.ndarray, conv (nroots,) bool).
+
+    matvec: jitted (nb, dim) -> (nb, dim) device function; hdiag: (dim,).
+    """
+    hdiag_np = np.asarray(hdiag)
+    dim = hdiag_np.shape[0]
+    nroots = min(nroots, dim)
+    if init_guess is None:
+        idx = np.argsort(hdiag_np)[:nroots]
+        init_guess = np.zeros((nroots, dim), dtype=np.float32)
+        init_guess[np.arange(nroots), idx] = 1.0
+    init_guess = np.asarray(init_guess)
+    nb = max(nroots, init_guess.shape[0])
+    rng = np.random.default_rng(1234)
+    if init_guess.shape[0] < nb:
+        init_guess = np.vstack(
+            [
+                init_guess,
+                rng.normal(size=(nb - init_guess.shape[0], dim)).astype(
+                    init_guess.dtype
+                ),
+            ]
+        )
+    max_space = min(dim, max(nb * max_space_factor, nb + 10))
+    max_space = max(nb, nb * (max_space // nb))  # multiple of the block size
+
+    # one probe call fixes the working dtype to the operator's output dtype
+    # (f32 on TPU) and doubles as the compile warm-up
+    probe = matvec(jnp.asarray(init_guess))
+    dtype = probe.dtype
+    X = jnp.asarray(init_guess, dtype=dtype)
+    hdiag_d = jnp.asarray(hdiag_np, dtype=dtype)
+    # one fixed random refill block, reused when pick_positive drops roots
+    # (re-orthogonalization extracts fresh directions from it every cycle)
+    fill_d = jnp.asarray(rng.normal(size=(nb, dim)), dtype=dtype)
+    V = jnp.zeros((max_space, dim), dtype=dtype)
+    AV = jnp.zeros((max_space, dim), dtype=dtype)
+    ns = 0
+    e = np.zeros(nroots)
+    e_last = None
+    conv = np.zeros(nroots, dtype=bool)
+    xs = None
+
+    for cycle in range(max_cycle):
+        if ns + nb > max_space:
+            # restart: current Ritz vectors become the fresh basis
+            V = jnp.zeros((max_space, dim), dtype=dtype)
+            AV = jnp.zeros((max_space, dim), dtype=dtype)
+            V, Xo = _expand(V, AV, xs_pad, 0)
+            AV = _update_av(AV, matvec(Xo), 0)
+            ns = nb
+        V, Xo = _expand(V, AV, X, ns)
+        AV = _update_av(AV, matvec(Xo), ns)
+        ns += nb
+        H_d, S_d = _project(V, AV)
+        H = np.asarray(H_d, dtype=np.float64)[:ns, :ns]
+        S_ov = np.asarray(S_d, dtype=np.float64)[:ns, :ns]
+        H = 0.5 * (H + H.T)
+        S_ov = 0.5 * (S_ov + S_ov.T)
+        # canonical orthogonalization: drop near-dependent directions
+        ws, Us = np.linalg.eigh(S_ov)
+        keep_s = ws > 1e-5
+        Xc = Us[:, keep_s] / np.sqrt(ws[keep_s])[None, :]
+        w, sc = np.linalg.eigh(Xc.T @ H @ Xc)
+        s = Xc @ sc
+        if pick_positive:
+            keep = np.where(w > pos_threshold)[0]
+            w, s = w[keep], s[:, keep]
+        nr = min(nroots, w.shape[0])
+        e = w[:nr]
+        # pad the Ritz rotation to fixed shapes (nb roots, max_space rows)
+        s_pad = np.zeros((max_space, nb), dtype=dtype)
+        s_pad[:ns, :nr] = s[:, :nr]
+        e_pad = np.zeros(nb, dtype=dtype)
+        e_pad[:nr] = e
+        mask = np.zeros(nb, dtype=dtype)
+        mask[:nr] = 1.0
+        xs, X, rnorm2 = _ritz_precond(
+            V, AV, jnp.asarray(s_pad), jnp.asarray(e_pad), hdiag_d,
+            jnp.asarray(mask), fill_d,
+        )
+        rnorm = np.sqrt(np.maximum(np.asarray(rnorm2[:nr]), 0.0))
+        de = (
+            np.abs(e - e_last[: e.shape[0]])
+            if e_last is not None and e_last.shape[0] >= e.shape[0]
+            else np.full_like(e, np.inf)
+        )
+        conv = (rnorm < tol) | (de < tol * 1e-2)
+        e_last = e.copy()
+        xs_pad = xs  # (nb, dim), rows beyond nr are zero-rotations
+        if verbose:
+            print(
+                f"dvd-jit cycle {cycle}: ns={ns} e[:3]={e[:3]} "
+                f"|r|max={rnorm.max():.2e}"
+            )
+        if np.all(conv):
+            break
+
+    v = np.asarray(xs[:nroots]).T if xs is not None else np.zeros((dim, nroots))
+    return e[:nroots], v, conv[:nroots]

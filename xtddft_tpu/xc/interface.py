@@ -153,6 +153,28 @@ def fxc_v1mat(spec: XCSpec, ao, weights, rho0, dm1s, hermi: bool = True):
     return jax.vmap(one)(dm1s)
 
 
+def make_fxc_jvp(spec: XCSpec):
+    """Pure-function fxc response for use INSIDE jitted code: all grid data
+    is passed as arguments (closure-captured device arrays would be embedded
+    as XLA constants, which compiles pathologically slowly on TPU).
+
+    respond(w, rho_s, drho) -> (dwva, dwvb, dwga, dwgb); caller is
+    responsible for sanitizing rho0 and masking drho (see `_sanitize`)."""
+    efn = exc_density_fn(spec)
+
+    def respond(w, rho_s, drho):
+        def vfun(args):
+            def total(r4):
+                return jnp.sum(w * efn(*r4))
+
+            return jax.grad(total)(args)
+
+        _, dv = jax.jvp(vfun, (rho_s,), (drho,))
+        return dv
+
+    return respond
+
+
 # ---------------------------------------------------------------- SF kernel
 
 def sf_kernel_alda0(spec: XCSpec, weights, rho0):
