@@ -40,6 +40,10 @@ class SigmaOperator:
     hdiag: np.ndarray
     dim: int
     _to_blocked: callable | None = None
+    # pure form for fully-jitted solvers: matvec_raw(consts, z) with all
+    # device tensors passed as arguments (never closure-captured)
+    matvec_raw: callable | None = None
+    consts: object | None = None
 
     def init_guess(self, nstates: int, spread: float = 1e-3) -> np.ndarray:
         """Koopmans guess: unit vectors on the lowest diagonal gaps

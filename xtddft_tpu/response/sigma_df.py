@@ -367,6 +367,8 @@ def xtda_sigma_df(data: DFData, spin_adapt: bool = True,
     def matvec(zs):
         return _matvec(consts, zs)
 
+    matvec_raw = _matvec
+
     ea = np.diag(data.fock_mo[0])
     eb = np.diag(data.fock_mo[1])
     hdiag = np.concatenate([
@@ -381,4 +383,7 @@ def xtda_sigma_df(data: DFData, spin_adapt: bool = True,
         cv = beta[:, no:].reshape(noccb * nv, -1)
         return np.concatenate([top, co, cv], axis=0)
 
-    return SigmaOperator(matvec=matvec, hdiag=hdiag, dim=dim, _to_blocked=to_blocked)
+    return SigmaOperator(
+        matvec=matvec, hdiag=hdiag, dim=dim, _to_blocked=to_blocked,
+        matvec_raw=matvec_raw, consts=consts,
+    )

@@ -27,18 +27,20 @@ import numpy as np
 def _expand(V, AV, X, ns):
     """Orthonormalize X (nb, dim) against the valid rows of V and write the
     result into rows [ns, ns+nb).  Invalid rows of V are zero, so the
-    projection against the full buffer is exact."""
-    X = X - (X @ V.T) @ V
-    X = X - (X @ V.T) @ V
-    eps = 1e-10 * jnp.max(jnp.sum(X * X, axis=1)) + 1e-30
-    eye = jnp.eye(X.shape[0], dtype=X.dtype)
+    projection against the full buffer is exact.  Runs at full f32 matmul
+    precision (TPU default bf16 floors orthogonality at ~1e-3)."""
+    with jax.default_matmul_precision("highest"):
+        X = X - (X @ V.T) @ V
+        X = X - (X @ V.T) @ V
+        eps = 1e-10 * jnp.max(jnp.sum(X * X, axis=1)) + 1e-30
+        eye = jnp.eye(X.shape[0], dtype=X.dtype)
 
-    def chol_pass(Y):
-        G = Y @ Y.T + eps * eye
-        L = jnp.linalg.cholesky(G)
-        return jax.scipy.linalg.solve_triangular(L, Y, lower=True)
+        def chol_pass(Y):
+            G = Y @ Y.T + eps * eye
+            L = jnp.linalg.cholesky(G)
+            return jax.scipy.linalg.solve_triangular(L, Y, lower=True)
 
-    Xo = chol_pass(chol_pass(X))
+        Xo = chol_pass(chol_pass(X))
     V = jax.lax.dynamic_update_slice(V, Xo, (ns, 0))
     return V, Xo
 
@@ -53,7 +55,8 @@ def _project(V, AV):
     """(H, S) subspace projections; invalid rows/cols are zero.  S is
     needed because f32 orthogonality degrades over many cycles — solving
     the generalized problem on host keeps the Ritz values variational."""
-    return V @ AV.T, V @ V.T
+    with jax.default_matmul_precision("highest"):
+        return V @ AV.T, V @ V.T
 
 
 @jax.jit
@@ -62,8 +65,9 @@ def _ritz_precond(V, AV, s, e, hdiag, mask, fill):
     the preconditioned expansion block (masked to unconverged roots, with
     random refill rows to keep the block full-rank).  s is (max_space, nr)
     with zeros on invalid rows."""
-    xs = s.T @ V
-    ax = s.T @ AV
+    with jax.default_matmul_precision("highest"):
+        xs = s.T @ V
+        ax = s.T @ AV
     r = ax - e[:, None] * xs
     rnorm2 = jnp.sum(r * r, axis=1)
     denom = hdiag[None, :] - e[:, None]
@@ -184,3 +188,150 @@ def davidson_device(
 
     v = np.asarray(xs[:nroots]).T if xs is not None else np.zeros((dim, nroots))
     return e[:nroots], v, conv[:nroots]
+
+
+def davidson_fulljit(
+    matvec_raw,
+    consts,
+    hdiag,
+    nroots: int = 5,
+    init_guess=None,
+    tol: float = 3e-4,
+    max_cycle: int = 60,
+    max_space_factor: int = 12,
+    pick_positive: bool = False,
+    pos_threshold: float = 1e-3,
+):
+    """Fully-jitted block Davidson: the ENTIRE solve is one device dispatch
+    (lax.while_loop), so remote-tunnel latency is paid once instead of
+    several times per cycle.  The subspace eigenproblem is solved on device
+    as a generalized pencil via canonical orthogonalization with masked
+    (BIG-shifted) invalid directions.
+
+    matvec_raw(consts, z): pure sigma build with all tensors as arguments.
+    Returns (e (nroots,), v (dim, nroots), conv (nroots,)) as numpy.
+    """
+    hdiag_np = np.asarray(hdiag)
+    dim = hdiag_np.shape[0]
+    nroots = min(nroots, dim)
+    if init_guess is None:
+        idx = np.argsort(hdiag_np)[:nroots]
+        init_guess = np.zeros((nroots, dim), dtype=np.float32)
+        init_guess[np.arange(nroots), idx] = 1.0
+    init_guess = np.asarray(init_guess)
+    nb = init_guess.shape[0]
+    rng = np.random.default_rng(7)
+    max_space = min(dim, max(nb, nb * max_space_factor))
+    max_space = max(nb, nb * (max_space // nb))
+    BIG = 1e8
+
+    @jax.jit
+    def _solve(consts, X0, hdiag_d, fill):
+        dtype = X0.dtype
+
+        def expand(V, AV, ns, X):
+            # TPU matmuls default to bf16 precision (~1e-3): the subspace
+            # algebra must run at full f32 ('highest') or orthogonality and
+            # residual norms floor three orders of magnitude too high
+            with jax.default_matmul_precision("highest"):
+                X = X - (X @ V.T) @ V
+                X = X - (X @ V.T) @ V
+                eps = 1e-10 * jnp.max(jnp.sum(X * X, axis=1)) + 1e-30
+                eye_b = jnp.eye(nb, dtype=dtype)
+
+                def chol(Y):
+                    L = jnp.linalg.cholesky(Y @ Y.T + eps * eye_b)
+                    return jax.scipy.linalg.solve_triangular(L, Y, lower=True)
+
+                Xo = chol(chol(X))
+            V = jax.lax.dynamic_update_slice(V, Xo, (ns, 0))
+            AV = jax.lax.dynamic_update_slice(AV, matvec_raw(consts, Xo), (ns, 0))
+            return V, AV, ns + nb
+
+        def ritz(V, AV):
+          with jax.default_matmul_precision("highest"):
+            H = (V @ AV.T).astype(jnp.float32)
+            S = (V @ V.T).astype(jnp.float32)
+            H = 0.5 * (H + H.T)
+            S = 0.5 * (S + S.T)
+            ws, Us = jnp.linalg.eigh(S)
+            valid = ws > 1e-5
+            Xc = Us * jnp.where(valid, 1.0 / jnp.sqrt(jnp.where(valid, ws, 1.0)), 0.0)[None, :]
+            # penalty shift for dropped directions: must stay within a few
+            # orders of the physical spectrum — an absolute 1e8 shift makes
+            # f32 eigh lose ~|A|*eps = O(10) on every eigenvalue
+            shift = 10.0 * (1.0 + jnp.max(jnp.abs(H)))
+            Ht = Xc.T @ H @ Xc + jnp.diag(jnp.where(valid, 0.0, shift))
+            w, sc = jnp.linalg.eigh(Ht)
+            if pick_positive:
+                w_eff = jnp.where(w > pos_threshold, w, shift)
+                order = jnp.argsort(w_eff)
+                w = w_eff[order]
+                sc = sc[:, order]
+            s = (Xc @ sc[:, :nb]).astype(dtype)
+            e = w[:nb].astype(dtype)
+            xs = s.T @ V
+            ax = s.T @ AV
+            r = ax - e[:, None] * xs
+            rnorm2 = jnp.sum(r * r, axis=1)
+            return e, xs, ax, r, rnorm2
+
+        def precond(r, e):
+            denom = hdiag_d[None, :] - e[:, None]
+            denom = jnp.where(jnp.abs(denom) < 1e-8, 1e-8, denom)
+            return r / denom
+
+        def body(state):
+            V, AV, ns, X, e_prev, _, _, _, cycle = state
+            # restart when full: current Ritz pair becomes the fresh basis
+            def do_restart(args):
+                V, AV, ns = args
+                e0, xs0, ax0, _, _ = ritz(V, AV)
+                Vn = jnp.zeros_like(V)
+                AVn = jnp.zeros_like(AV)
+                # xs0 rows are orthonormal up to f32 error; good enough as
+                # a restart basis (the pencil solve absorbs the rest)
+                Vn = jax.lax.dynamic_update_slice(Vn, xs0, (0, 0))
+                AVn = jax.lax.dynamic_update_slice(AVn, ax0, (0, 0))
+                return Vn, AVn, nb
+
+            V, AV, ns = jax.lax.cond(
+                ns + nb > max_space, do_restart, lambda a: a, (V, AV, ns)
+            )
+            V, AV, ns = expand(V, AV, ns, X)
+            e, xs, ax, r, rnorm2 = ritz(V, AV)
+            de = jnp.abs(e - e_prev)
+            conv = (jnp.sqrt(jnp.maximum(rnorm2, 0.0)) < tol) | (de < tol * 1e-2)
+            Xn = precond(r, e)
+            return (V, AV, ns, Xn, e, xs, conv, rnorm2, cycle + 1)
+
+        def cond(state):
+            conv = state[6]
+            cycle = state[8]
+            return (cycle < max_cycle) & ~jnp.all(conv)
+
+        V0 = jnp.zeros((max_space, dim), dtype=dtype)
+        AV0 = jnp.zeros((max_space, dim), dtype=dtype)
+        state0 = (
+            V0, AV0, 0, X0,
+            jnp.full((nb,), jnp.inf, dtype=dtype),
+            jnp.zeros((nb, dim), dtype=dtype),
+            jnp.zeros((nb,), dtype=bool),
+            jnp.zeros((nb,), dtype=dtype),
+            0,
+        )
+        V, AV, ns, X, e, xs, conv, rnorm2, cycle = jax.lax.while_loop(
+            cond, body, state0
+        )
+        return e, xs, conv, cycle
+
+    # probe dtype with one matvec (also the compile warm-up for matvec)
+    X0 = jnp.asarray(init_guess)
+    probe = matvec_raw(consts, X0)
+    X0 = X0.astype(probe.dtype)
+    hdiag_d = jnp.asarray(hdiag_np, dtype=probe.dtype)
+    fill = jnp.asarray(rng.normal(size=(nb, dim)), dtype=probe.dtype)
+    e, xs, conv, cycle = _solve(consts, X0, hdiag_d, fill)
+    e = np.asarray(e)[:nroots]
+    v = np.asarray(xs)[:nroots].T
+    return e, v, np.asarray(conv)[:nroots]
