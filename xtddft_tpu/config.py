@@ -24,6 +24,11 @@ def initialize() -> None:
     platform = os.environ.get("XTDDFT_PLATFORM")
     if platform:
         jax.config.update("jax_platforms", platform)
+    elif os.environ.get("JAX_PLATFORMS") == "cpu":
+        # the axon sitecustomize programmatically pins the TPU backend,
+        # overriding the env var; restore the caller's explicit CPU choice
+        # (the driver's multi-chip dryrun runs on a virtual CPU mesh)
+        jax.config.update("jax_platforms", "cpu")
     _initialized = True
 
 

@@ -60,6 +60,11 @@ class TDA(_Base):
     def __init__(self, mf, nstates: int = 5, singlet: bool = True):
         super().__init__(mf, nstates)
         self.singlet = singlet
+        if self.ref.no != 0:
+            raise ValueError(
+                "TDA requires a closed-shell (RKS/RHF) reference; use UTDA "
+                "or XTDA for open-shell systems"
+            )
 
     def kernel(self) -> ExcitationResult:
         ref = self.ref
