@@ -78,3 +78,22 @@ def test_davidson_device_matches_host():
                                     init_guess=op.init_guess(6), tol=1e-5)
     assert np.all(c_d)
     assert np.abs(e_h - e_d).max() < 1e-4
+
+
+def test_spmd_matches_single_chip():
+    """DF sigma on an 8-device mesh (conftest virtual CPU devices) == the
+    single-chip scan-chunked path."""
+    import jax
+    import jax.numpy as jnp
+    from xtddft_tpu.parallel.mesh import make_mesh, shard_df_data, trial_sharding
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    mesh = make_mesh(8)
+    data = synthetic_df_data(nmo=96, nc=10, no=2, naux=192, ngrid=4096)
+    op0 = xtda_sigma_df(data, spmd=False)
+    data_s = shard_df_data(data, mesh)
+    op = xtda_sigma_df(data_s, spmd=True)
+    z = np.random.default_rng(0).normal(size=(8, op.dim)).astype(np.float32)
+    zs = jax.device_put(jnp.asarray(z), trial_sharding(mesh))
+    assert np.abs(np.asarray(op.matvec(zs)) - np.asarray(op0.matvec(z))).max() < 1e-4

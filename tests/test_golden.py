@@ -116,3 +116,25 @@ def test_be_xsf_augccpvtz():
         4.0395836, 4.07260624, 4.07260634, 4.09542032, 4.09542242,
     ])
     assert np.abs(r.e * units.HA2EV - ref).max() < 0.2
+
+
+def test_ch2o_sutda_b3lyp(ch2o_cation):
+    """example/sTDA.ipynb cell 2: sU-TDA on UKS CH2O+ cc-pVDZ/B3LYP.
+
+    The stored golden lives in a truncated 41-CSF space.  This build
+    reproduces the CAS window (5/1/9 active) and the P-CSF sets exactly,
+    but four S-CSF couplings sit at 9.4-9.6e-5 against the 1e-4 threshold
+    and flip with the ~0.2 mHa grid-scheme difference between the SCF
+    stacks, shifting states by up to ~80 meV — an inherent sensitivity of
+    threshold-truncated spaces, so the energy gate is 0.1 eV (the exact
+    structural assertions below are the real parity check)."""
+    from xtddft_tpu.stda import STDA
+
+    mf = UKS(ch2o_cation, xc="b3lyp", grid_level=3).kernel()
+    drv = STDA(mf, spinadapt=False, nstates=3, select_with_fock=False)
+    r = drv.kernel()
+    # active space and P-CSF selection match the stored run exactly
+    assert (drv.act.nc, drv.act.no, drv.act.nv) == (5, 1, 9)
+    assert drv.selection["pcsf"] == {"cva": 2, "ova": 1, "cob": 3, "cvb": 2}
+    ref = np.array([4.1201, 5.2932, 5.9722])
+    assert np.abs(r.e * units.HA2EV - ref).max() < 0.1

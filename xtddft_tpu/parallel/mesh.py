@@ -68,3 +68,28 @@ def shard_reference(ref, mesh: Mesh):
 
 def trial_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("dp", None))
+
+
+def shard_df_data(data, mesh: Mesh):
+    """Shard a DFData over the mesh for the SPMD sigma path: the fitted B
+    tensor over its auxiliary axis and the grid tensors over the grid axis
+    (both are contraction axes -> GSPMD inserts psum over ICI); Fock
+    matrices stay replicated."""
+    import dataclasses
+
+    sh_aux = NamedSharding(mesh, P("tp", None, None))
+    sh_grid_lead = NamedSharding(mesh, P("tp"))
+    sh_phi = NamedSharding(mesh, P(None, "tp", None))
+    sh_g3 = NamedSharding(mesh, P(None, "tp"))
+    kw = {"B": jax.device_put(data.B, sh_aux)}
+    if data.phi is not None:
+        kw["phi"] = jax.device_put(data.phi, sh_phi)
+        kw["grid_w"] = jax.device_put(data.grid_w, sh_grid_lead)
+        ra, rb, ga, gb = data.rho0
+        kw["rho0"] = (
+            jax.device_put(ra, sh_grid_lead),
+            jax.device_put(rb, sh_grid_lead),
+            jax.device_put(ga, sh_g3),
+            jax.device_put(gb, sh_g3),
+        )
+    return dataclasses.replace(data, **kw)

@@ -158,12 +158,19 @@ def synthetic_df_data(nmo=1000, nc=78, no=2, naux=2000, ngrid=49152,
 
 
 def xtda_sigma_df(data: DFData, spin_adapt: bool = True,
-                  dtype=None) -> SigmaOperator:
+                  dtype=None, spmd: bool = False) -> SigmaOperator:
     """Spin-conserving (U/X-)TDA sigma over DF tensors.
 
     Same natural layout and dA math as `sigma.spin_conserving_sigma`
     (alpha (nocca x nvira) rows then beta (noccb x nvirb)), with J/K from
-    B and fxc through the MO-grid factorization."""
+    B and fxc through the MO-grid factorization.
+
+    spmd=False (single chip): aux and grid axes are lax.scan-chunked to
+    bound HBM intermediates.  spmd=True (multi-chip): plain einsums over
+    tensors sharded across the mesh (`parallel.mesh.shard_df_data`) — each
+    chip holds 1/N of the aux and grid axes, GSPMD inserts the psum
+    reductions over ICI, and the per-chip shard provides the memory relief
+    the scan gave on one chip."""
     nc, no, nv = data.nc, data.no, data.nv
     nmo = data.nmo
     nocca, nvira = nc + no, nv
@@ -190,7 +197,7 @@ def xtda_sigma_df(data: DFData, spin_adapt: bool = True,
         # ngrid x nvir intermediates of the rho1 build must never
         # materialize at full grid size.  Pad with zero-weight points.
         ngrid = int(w_s.shape[0])
-        gc = min(4096, ngrid)
+        gc = ngrid if spmd else min(4096, ngrid)
         ngc = -(-ngrid // gc)
         pad = ngc * gc - ngrid
 
@@ -246,7 +253,7 @@ def xtda_sigma_df(data: DFData, spin_adapt: bool = True,
         divisor of naux: padding would force a full copy of B)."""
         naux = B.shape[0]
         nz, nocc, nvir = z.shape
-        chunk = _aux_chunk(naux, nz, nocc, nvir)
+        chunk = naux if spmd else _aux_chunk(naux, nz, nocc, nvir)
         Br = B.reshape(naux // chunk, chunk, *B.shape[1:])
 
         def body(K_acc, Bc):

@@ -112,7 +112,7 @@ class STDA:
             keep = by_block[b] * units.HA2EV <= self.Emax
             p_idx[b] = (grid_i[keep], grid_a[keep])
             n_idx[b] = (grid_i[~keep], grid_a[~keep])
-        if self.union and self.spinadapt:
+        if self.union:
             pu = core.union_ia(*p_idx["cva"], *p_idx["cvb"], nv)
             nu = core.intersect_ia(*n_idx["cva"], *n_idx["cvb"], nv)
             p_idx["cva"] = p_idx["cvb"] = pu
@@ -148,7 +148,7 @@ class STDA:
             a = np.concatenate([pcsf.idx[b][1], na[m]])
             n2 = shapes[b][1]
             sel_idx[b] = core._sort_ia(i, a, n2)
-        if self.union and self.spinadapt:
+        if self.union:
             u = core.union_ia(*sel_idx["cva"], *sel_idx["cvb"], nv)
             sel_idx["cva"] = sel_idx["cvb"] = u
         sel = core.CSFSet(idx=sel_idx)
