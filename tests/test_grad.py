@@ -42,3 +42,25 @@ def test_fd_excited_gradient(h2_stretched):
     # the excited-state surface has its own (different) slope
     g0 = fd_gradient(h2_stretched, h=2e-3)
     assert abs(g[1, 2] - g0[1, 2]) > 1e-3
+
+
+def test_analytic_hf_gradient_vs_fd():
+    from xtddft_tpu.grad.analytic import hf_gradient
+    from xtddft_tpu.scf import ROHF
+
+    mol = Molecule.from_atoms("O 0 0 0; H 0 0 0.95", basis="sto-3g", spin=1)
+    mf = ROHF(mol).kernel()
+    ga = hf_gradient(mf)
+    gf = fd_gradient(mf, h=1e-3)
+    assert np.abs(ga - gf).max() < 5e-6
+    assert np.abs(ga.sum(axis=0)).max() < 1e-8  # translational invariance
+
+
+def test_analytic_rejects_dft(h2_stretched):
+    from xtddft_tpu.grad.analytic import hf_gradient
+    from xtddft_tpu.scf import RKS
+
+    mol = h2_stretched.mol
+    mfk = RKS(mol, xc="svwn", grid_level=1).kernel()
+    with pytest.raises(NotImplementedError):
+        hf_gradient(mfk)

@@ -212,3 +212,78 @@ def angular_momentum(layout: BasisLayout, gauge_origin=(0.0, 0.0, 0.0)) -> np.nd
         )
 
     return _assemble(layout, block, ncomp=3, hermitian=False)
+
+
+def ip_kinetic(layout: BasisLayout) -> np.ndarray:
+    """<d/dr mu | T | nu>, shape (3, nao, nao) (int1e_ipkin analog)."""
+
+    def block(sha: Shell, shb: Shell) -> np.ndarray:
+        E, a, b, cc, p = md.make_pair_eijk(sha, shb, ldelta=3)
+        w = _pair_weight(p, cc)
+        ca = cart_components(sha.l)
+        cb = cart_components(shb.l)
+
+        def s1(d, i, j):
+            return E[d][i, j, 0]
+
+        def t1(d, i, j):
+            val = b * (2 * j + 1) * s1(d, i, j) - 2.0 * b**2 * s1(d, i, j + 2)
+            if j >= 2:
+                val = val - 0.5 * j * (j - 1) * s1(d, i, j - 2)
+            return val
+
+        def ds1(d, i, j):
+            val = -2.0 * a * s1(d, i + 1, j)
+            if i >= 1:
+                val = val + i * s1(d, i - 1, j)
+            return val
+
+        def dt1(d, i, j):
+            val = -2.0 * a * t1(d, i + 1, j)
+            if i >= 1:
+                val = val + i * t1(d, i - 1, j)
+            return val
+
+        out = np.empty((3, len(ca), len(cb)))
+        for i, ci in enumerate(ca):
+            for j, cj in enumerate(cb):
+                s = [s1(d, ci[d], cj[d]) for d in range(3)]
+                t = [t1(d, ci[d], cj[d]) for d in range(3)]
+                for x in range(3):
+                    fac = []
+                    for d in range(3):
+                        if d == x:
+                            fac.append((ds1(d, ci[d], cj[d]),
+                                        dt1(d, ci[d], cj[d])))
+                        else:
+                            fac.append((s[d], t[d]))
+                    # T = tx*sy*sz + sx*ty*sz + sx*sy*tz with the x-factor
+                    # replaced by its derivative
+                    term = (
+                        fac[0][1] * fac[1][0] * fac[2][0]
+                        + fac[0][0] * fac[1][1] * fac[2][0]
+                        + fac[0][0] * fac[1][0] * fac[2][1]
+                    )
+                    out[x, i, j] = np.sum(w * term)
+        return np.stack(
+            [_sph_block(out[x], sha.l, shb.l) for x in range(3)], axis=0
+        )
+
+    return _assemble(layout, block, ncomp=3, hermitian=False)
+
+
+def ip_rinv(layout: BasisLayout, center) -> np.ndarray:
+    """<d/dr mu | 1/|r-C| | nu>, shape (3, nao, nao) (positive kernel)."""
+    C = np.asarray(center, dtype=np.float64)
+
+    def block(sha: Shell, shb: Shell) -> np.ndarray:
+        out = np.empty((3, sha.nao, shb.nao))
+        for d in range(3):
+            sp = md.make_shell_pair_deriv(sha, shb, d_bra=d)
+            PC = sp.P - C[None, :]
+            R = md.hermite_coulomb(sp.L, sp.p, PC)
+            blk = np.einsum("chp,hp,p->c", sp.H, R, 2.0 * np.pi / sp.p)
+            out[d] = _sph_block(blk, sha.l, shb.l)
+        return out
+
+    return _assemble(layout, block, ncomp=3, hermitian=False)
