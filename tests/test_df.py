@@ -97,3 +97,21 @@ def test_spmd_matches_single_chip():
     z = np.random.default_rng(0).normal(size=(8, op.dim)).astype(np.float32)
     zs = jax.device_put(jnp.asarray(z), trial_sharding(mesh))
     assert np.abs(np.asarray(op.matvec(zs)) - np.asarray(op0.matvec(z))).max() < 1e-4
+
+
+def test_xsf_df_matches_incore(fh_roks):
+    """DF XSF-TDA sigma (flagship at scale) vs the exact in-core dense
+    build on the FH triplet (ALDA0 + dA + OO projector)."""
+    from xtddft_tpu.response import make_reference, dense
+    from xtddft_tpu.response.sigma_df import build_df_data, xsf_sigma_df
+
+    ref = make_reference(fh_roks)
+    A, vects = dense.xsf_dense(ref, SA=3, foo=1.0, fglobal=0.65, method=0,
+                               remove=True)
+    data = build_df_data(ref)
+    op = xsf_sigma_df(data, SA=3, foo=1.0, fglobal=0.65, method=0, remove=True)
+    eye = np.eye(op.dim)
+    A_df = np.asarray(op.matvec(eye)).T
+    e_ref = np.linalg.eigvalsh(A)
+    e_df = np.linalg.eigvalsh(0.5 * (A_df + A_df.T))
+    assert np.abs(e_ref - e_df).max() * 27.2114 < 5e-3  # DF fit error only

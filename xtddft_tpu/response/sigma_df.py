@@ -394,3 +394,183 @@ def xtda_sigma_df(data: DFData, spin_adapt: bool = True,
         matvec=matvec, hdiag=hdiag, dim=dim, _to_blocked=to_blocked,
         matvec_raw=matvec_raw, consts=consts,
     )
+
+
+def xsf_sigma_df(data: DFData, SA: int = 3, foo: float = 1.0,
+                 fglobal: float = 1.0, method: int = 0,
+                 remove: bool = True, dtype=None) -> SigmaOperator:
+    """Density-fitted XSF-TDA sigma (the flagship method at production
+    scale): SF exchange from the fitted B tensor, ALDA0 or multicollinear
+    kernel through the MO-grid factorization, and the spin-adapted dA with
+    its small MO tensors built from B (`response/xsf_terms.py`).
+
+    Vector layout and semantics mirror `sigma_xsf.xsf_sigma_operator`
+    (CV|CO|OV|OO blocked, OO compressed through the Sf=Si projector when
+    ``remove``)."""
+    from xtddft_tpu.response.spaces import sf_oo_projector
+    from xtddft_tpu.response.xsf_terms import (
+        apply_delta_a,
+        delta_a_fock_blocks,
+        delta_a_tensors_from_df,
+    )
+
+    nc, no, nv = data.nc, data.no, data.nv
+    n_o, n_v = nc + no, no + nv
+    d1, d2, d3 = nc * nv, nc * nv + nc * no, nc * nv + nc * no + no * nv
+    noo = no * no - 1 if remove else no * no
+    dim = d3 + noo
+    if dtype is None:
+        dtype = data.B.dtype
+    acc = jnp.float32 if dtype in (jnp.bfloat16, np.dtype("bfloat16")) else dtype
+    hyb = data.hyb
+    oa = slice(0, n_o)          # alpha occupied MOs
+    vb = slice(nc, None)        # beta virtual MOs
+
+    consts = {
+        "B": data.B,
+        "f_occ": jnp.asarray(data.fock_mo[0][:n_o, :n_o], dtype=acc),
+        "f_vir": jnp.asarray(data.fock_mo[1][nc:, nc:], dtype=acc),
+    }
+    if remove:
+        consts["vects"] = jnp.asarray(sf_oo_projector(no), dtype=acc)
+    has_xc = (
+        method in (0, 1)
+        and data.spec is not None
+        and bool(data.spec.components)
+        and data.phi is not None
+    )
+    if has_xc:
+        from xtddft_tpu.xc.interface import _sanitize, sf_kernel_alda0
+
+        w_s, rho_s, mask = _sanitize(data.grid_w, data.rho0)
+        if method == 0:
+            fw = sf_kernel_alda0(data.spec, data.grid_w, data.rho0)
+            consts["sf_k"] = fw.astype(acc)[:, None, None] * jnp.eye(
+                1, dtype=acc
+            )  # (g,1,1): value-only kernel
+            kdim = 1
+        else:
+            from xtddft_tpu.xc.mcol import sf_kernel_mcol
+
+            consts["sf_k"] = sf_kernel_mcol(
+                data.spec, data.grid_w, data.rho0
+            ).astype(acc)
+            kdim = 4
+        consts["phi"] = data.phi
+    dA_on = SA > 0 and data.fock_hf_mo is not None and no > 0
+    if dA_on:
+        si = 0.5 * no
+        consts["dA"] = delta_a_tensors_from_df(data.B, nc, no, SA, acc)
+        consts["dA"].update(
+            delta_a_fock_blocks(data.fock_hf_mo[0], data.fock_hf_mo[1],
+                                nc, no, acc)
+        )
+
+    @jax.jit
+    def _matvec(C, zs):
+        B = C["B"]
+        zs = jnp.asarray(zs, dtype=acc)
+        nz = zs.shape[0]
+        zcv = zs[:, :d1].reshape(nz, nc, nv)
+        zco = zs[:, d1:d2].reshape(nz, nc, no)
+        zov = zs[:, d2:d3].reshape(nz, no, nv)
+        if remove:
+            zoo = jnp.einsum("pq,xq->xp", C["vects"], zs[:, d3:]).reshape(
+                nz, no, no
+            )
+        else:
+            zoo = zs[:, d3:].reshape(nz, no, no)
+        z = jnp.zeros((nz, n_o, n_v), dtype=acc)
+        z = z.at[:, :nc, no:].set(zcv)
+        z = z.at[:, :nc, :no].set(zco)
+        z = z.at[:, nc:, no:].set(zov)
+        z = z.at[:, nc:, :no].set(zoo)
+        # SF exchange: v_ia = -hyb sum_jb (ij|ab) z_jb  (i,j alpha-occ;
+        # a,b beta-vir), DF-factored with the same chunking as _jk
+        zb = z.astype(B.dtype)
+        naux = B.shape[0]
+        chunk = naux  # z is (nz, n_o, n_v): reuse full when small
+        budget = 1.5e8
+        target = int(max(1, budget // max(1, nz * n_o * n_v)))
+        for c in range(min(target, naux), 0, -1):
+            if naux % c == 0:
+                chunk = c
+                break
+        Br = B.reshape(naux // chunk, chunk, *B.shape[1:])
+
+        def body(K_acc, Bc):
+            T = jnp.einsum("Pab,xjb->xPja", Bc[:, vb, vb], zb)
+            K_acc = K_acc + jnp.einsum("Pij,xPja->xia", Bc[:, oa, oa], T)
+            return K_acc, None
+
+        K0 = jnp.zeros((nz, n_o, n_v), dtype=B.dtype)
+        K, _ = jax.lax.scan(body, K0, Br)
+        vs = -hyb * K.astype(acc)
+        if has_xc:
+            phi = C["phi"]
+            po = phi[:, :, oa]
+            pv = phi[:, :, vb]
+            # transition density components on the grid
+            tmp = jnp.einsum("xov,gv->xgo", z.astype(phi.dtype), pv[0])
+            r0 = jnp.einsum("xgo,go->xg", tmp, po[0])
+            if kdim == 1:
+                wv = C["sf_k"][:, 0, 0][None] * r0
+                vs = vs + jnp.einsum(
+                    "xg,go,gv->xov", wv, po[0], pv[0]
+                ).astype(acc)
+            else:
+                g1 = jnp.einsum("xgo,ygo->xyg", tmp, po[1:4])
+                tmp2 = jnp.einsum("xov,ygv->xygo", z.astype(phi.dtype), pv[1:4])
+                g1 = g1 + jnp.einsum("xygo,go->xyg", tmp2, po[0])
+                rho1 = jnp.concatenate([r0[:, None], g1], axis=1)  # (x,4,g)
+                wv = jnp.einsum("gab,xbg->xag", C["sf_k"], rho1)
+                v = jnp.einsum("xg,go,gv->xov", wv[:, 0], po[0], pv[0])
+                t3 = jnp.einsum("xyg,ygo->xgo", wv[:, 1:4], po[1:4])
+                v = v + jnp.einsum("xgo,gv->xov", t3, pv[0])
+                t4 = jnp.einsum("xyg,ygv->xgv", wv[:, 1:4], pv[1:4])
+                v = v + jnp.einsum("xgv,go->xov", t4, po[0])
+                vs = vs + v.astype(acc)
+        vs = vs + jnp.einsum("ab,xib->xia", C["f_vir"], z) - jnp.einsum(
+            "ij,xja->xia", C["f_occ"], z
+        )
+        if dA_on:
+            dcv, dco, dov, doo = apply_delta_a(
+                C["dA"], si, SA, foo, zcv, zco, zov, zoo, acc
+            )
+            vs = vs.at[:, :nc, no:].add(fglobal * dcv)
+            vs = vs.at[:, :nc, :no].add(fglobal * dco)
+            vs = vs.at[:, nc:, no:].add(fglobal * dov)
+            vs = vs.at[:, nc:, :no].add(fglobal * doo)
+        ocv = vs[:, :nc, no:].reshape(nz, -1)
+        oco = vs[:, :nc, :no].reshape(nz, -1)
+        oov = vs[:, nc:, no:].reshape(nz, -1)
+        ooo = vs[:, nc:, :no].reshape(nz, -1)
+        if remove:
+            ooo = jnp.einsum("pq,xp->xq", C["vects"], ooo)
+        return jnp.concatenate([ocv, oco, oov, ooo], axis=1)
+
+    def matvec(zs):
+        return _matvec(consts, zs)
+
+    ea = np.diag(data.fock_mo[0])[:n_o]
+    eb = np.diag(data.fock_mo[1])[nc:]
+    e_full = eb[None, :] - ea[:, None]
+    h_cv = e_full[:nc, no:].ravel()
+    h_co = e_full[:nc, :no].ravel()
+    h_ov = e_full[nc:, no:].ravel()
+    h_oo = e_full[nc:, :no].ravel()
+    if remove:
+        Vp = np.asarray(sf_oo_projector(no))
+        h_oo = np.einsum("pq,p,pq->q", Vp, h_oo, Vp)
+    hdiag = np.concatenate([h_cv, h_co, h_ov, h_oo])
+
+    def expand(v):
+        if not remove:
+            return v
+        Vp = np.asarray(sf_oo_projector(no))
+        return np.concatenate([v[:d3], Vp @ v[d3:]], axis=0)
+
+    return SigmaOperator(
+        matvec=matvec, hdiag=hdiag, dim=dim, _to_blocked=expand,
+        matvec_raw=_matvec, consts=consts,
+    )

@@ -61,40 +61,15 @@ def xsf_sigma_operator(
     dA_on = SA > 0 and ref.restricted_open and no > 0
     if dA_on:
         si = 0.5 * no
-        fahf = jnp.asarray(ref.fock_a_hf_mo, dtype=dtype)
-        fbhf = jnp.asarray(ref.fock_b_hf_mo, dtype=dtype)
-        fockS = 0.5 * (fbhf - fahf)
-        C, O, V = slice(0, nc), slice(nc, nc + no), slice(nc + no, None)
-        mo = ref.mo_a
-        moC, moO, moV = mo[:, C], mo[:, O], mo[:, V]
-        eri_ao = ref.env.eri
+        from xtddft_tpu.response.xsf_terms import (
+            delta_a_fock_blocks,
+            delta_a_tensors_from_eri,
+        )
 
-        def _moeri_d(*args):
-            return np.asarray(mo_eri(*args), dtype=dtype)
-        # dA two-electron blocks (small: every tensor has >= 2 O indices)
-        e_OCCO = jnp.asarray(_moeri_d(eri_ao, moO, moC, moC, moO))
-        e_VOOV = jnp.asarray(_moeri_d(eri_ao, moV, moO, moO, moV))
-        if SA > 1:
-            e_VOCC = jnp.asarray(_moeri_d(eri_ao, moV, moO, moC, moC))
-            e_VVOC = jnp.asarray(_moeri_d(eri_ao, moV, moV, moO, moC))
-            e_OCOV = jnp.asarray(_moeri_d(eri_ao, moO, moC, moO, moV))
-            e_OVOC = jnp.asarray(_moeri_d(eri_ao, moO, moV, moO, moC))
-        if SA > 2:
-            e_VOOC = jnp.asarray(_moeri_d(eri_ao, moV, moO, moO, moC))
-            e_OOOC = jnp.asarray(_moeri_d(eri_ao, moO, moO, moO, moC))
-            e_VOOO = jnp.asarray(_moeri_d(eri_ao, moV, moO, moO, moO))
-        fS_C = fockS[C, C]
-        fS_V = fockS[V, V]
-        fS_CV = fockS[C, V]
-        fbhf_VO = fbhf[V, O]
-        fahf_CO = fahf[C, O]
-        fahf_OC = fahf[O, C]
-        fbhf_CO = fbhf[C, O]
-        fahf_OV = fahf[O, V]
-        c1 = np.sqrt(1.0 + 1.0 / (2 * si)) - 1.0
-        c2 = np.sqrt(2 * si / (2 * si - 1)) - 1.0
-        c3 = 1.0 / np.sqrt(2 * si * (2 * si - 1))
-        factor = np.sqrt((2 * si + 1) / (2 * si - 1))
+        dA_T = delta_a_tensors_from_eri(ref, SA, dtype)
+        dA_T.update(
+            delta_a_fock_blocks(ref.fock_a_hf_mo, ref.fock_b_hf_mo, nc, no, dtype)
+        )
 
     @jax.jit
     def matvec(zs):
@@ -121,99 +96,11 @@ def xsf_sigma_operator(
             "ij,xja->xia", f_occ, z
         )
         if dA_on:
-            dcv = jnp.zeros((nz, nc, nv), dtype=dtype)
-            dco = jnp.zeros((nz, nc, no), dtype=dtype)
-            dov = jnp.zeros((nz, no, nv), dtype=dtype)
-            doo = jnp.zeros((nz, no, no), dtype=dtype)
-            # diagonal blocks (SA >= 1), `xtddft/XSF_TDA.py:343-350`
-            dcv = dcv + (
-                jnp.einsum("ab,xib->xia", fS_V, zcv)
-                + jnp.einsum("ji,xja->xia", fS_C, zcv)
-            ) / si
-            dco = dco + (
-                jnp.einsum("ji,xju->xiu", fS_C, zco) * 2.0 / (2 * si - 1)
-                - jnp.einsum("uijv,xjv->xiu", e_OCCO, zco) / (2 * si - 1)
+            from xtddft_tpu.response.xsf_terms import apply_delta_a
+
+            dcv, dco, dov, doo = apply_delta_a(
+                dA_T, si, SA, foo, zcv, zco, zov, zoo, dtype
             )
-            dov = dov + (
-                jnp.einsum("ab,xub->xua", fS_V, zov) * 2.0 / (2 * si - 1)
-                - jnp.einsum("auvb,xvb->xua", e_VOOV, zov) / (2 * si - 1)
-            )
-            if SA > 1:
-                # CV<->CO (`:355-358`)
-                dcv = dcv + c1 * (
-                    jnp.einsum("av,xiv->xia", fbhf_VO, zco)
-                    - jnp.einsum("avji,xjv->xia", e_VOCC, zco)
-                )
-                dco = dco + c1 * (
-                    jnp.einsum("av,xia->xiv", fbhf_VO, zcv)
-                    - jnp.einsum("avji,xia->xjv", e_VOCC, zcv)
-                )
-                # CV<->OV (`:360-363`)
-                dcv = dcv + c1 * (
-                    -jnp.einsum("iv,xva->xia", fahf_CO, zov)
-                    - jnp.einsum("abvi,xvb->xia", e_VVOC, zov)
-                )
-                dov = dov + c1 * (
-                    -jnp.einsum("iv,xia->xva", fahf_CO, zcv)
-                    - jnp.einsum("abvi,xib->xva", e_VVOC, zcv)
-                )
-                # CO<->OV (`:365-368`)
-                dco = dco + (1.0 / (2 * si - 1)) * (
-                    jnp.einsum("uivb,xvb->xiu", e_OCOV, zov)
-                    - jnp.einsum("ubvi,xvb->xiu", e_OVOC, zov)
-                )
-                dov = dov + (1.0 / (2 * si - 1)) * (
-                    jnp.einsum("uivb,xiu->xvb", e_OCOV, zco)
-                    - jnp.einsum("ubvi,xiu->xvb", e_OVOC, zco)
-                )
-            if SA > 2:
-                # CV<->OO (`:374-377`)
-                dcv = dcv + foo * (
-                    -(factor - 1.0) * jnp.einsum("avwi,xwv->xia", e_VOOC, zoo)
-                    + (factor / si) * jnp.einsum("ia,xww->xia", fS_CV, zoo)
-                )
-                doo = doo + foo * (
-                    -(factor - 1.0) * jnp.einsum("avwi,xia->xwv", e_VOOC, zcv)
-                    + (factor / si)
-                    * jnp.einsum(
-                        "ia,xia,wv->xwv", fS_CV, zcv, jnp.eye(no, dtype=dtype)
-                    )
-                )
-                # CO<->OO (`:380-384`)
-                dco = dco + foo * (
-                    c2
-                    * (
-                        -jnp.einsum("wi,xwu->xiu", fahf_OC, zoo)
-                        - jnp.einsum("uvwi,xwv->xiu", e_OOOC, zoo)
-                    )
-                    + c3 * jnp.einsum("iu,xww->xiu", fbhf_CO, zoo)
-                )
-                doo = doo + foo * (
-                    c2
-                    * (
-                        -jnp.einsum("wi,xiv->xwv", fahf_OC, zco)
-                        - jnp.einsum("uvwi,xiu->xwv", e_OOOC, zco)
-                    )
-                    + c3
-                    * jnp.einsum("iu,xiu,wv->xwv", fbhf_CO, zco, jnp.eye(no, dtype=dtype))
-                )
-                # OV<->OO (`:386-390`)
-                dov = dov + foo * (
-                    c2
-                    * (
-                        jnp.einsum("av,xuv->xua", fbhf_VO, zoo)
-                        - jnp.einsum("avwu,xwv->xua", e_VOOO, zoo)
-                    )
-                    - c3 * jnp.einsum("ua,xww->xua", fahf_OV, zoo)
-                )
-                doo = doo + foo * (
-                    c2
-                    * (
-                        jnp.einsum("av,xwa->xwv", fbhf_VO, zov)
-                        - jnp.einsum("avwu,xua->xwv", e_VOOO, zov)
-                    )
-                    - c3 * jnp.einsum("ua,xua,wv->xwv", fahf_OV, zov, jnp.eye(no, dtype=dtype))
-                )
             vs = vs.at[:, :nc, no:].add(fglobal * dcv)
             vs = vs.at[:, :nc, :no].add(fglobal * dco)
             vs = vs.at[:, nc:, no:].add(fglobal * dov)
