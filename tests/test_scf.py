@@ -46,3 +46,21 @@ def test_spin_square_uks():
     r = UKS(mol, xc="bhandhlyp", grid_level=1).kernel()
     ss, mult = r.spin_square()
     assert abs(ss - 2.0) < 0.05
+
+
+def test_sto3g_ext_second_row():
+    """Derived second-row STO-3G (see data_sto3g_ext): S atom within tens
+    of mHa of the true STO-3G ROHF energy (-393.13)."""
+    from xtddft_tpu.chem import Molecule
+    from xtddft_tpu.scf import ROHF, RHF
+
+    ms = Molecule.from_atoms("S 0 0 0", basis="sto-3g", spin=2)
+    mfs = ROHF(ms).kernel()
+    assert mfs.converged
+    assert abs(mfs.e_tot - (-393.13)) < 0.08
+    # CH2S molecule converges
+    from xtddft_tpu.chem import geometries as G
+
+    mol = Molecule.from_atoms(G.ch2s, basis="sto-3g")
+    mf = RHF(mol).kernel()
+    assert mf.converged and mf.e_tot < -430.0

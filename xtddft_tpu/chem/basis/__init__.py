@@ -11,13 +11,23 @@ from __future__ import annotations
 
 import numpy as np
 
-from xtddft_tpu.chem.basis import data_sto3g, data_631g, data_ccpvdz, data_augccpvtz
+from xtddft_tpu.chem.basis import (
+    data_sto3g,
+    data_sto3g_ext,
+    data_631g,
+    data_ccpvdz,
+    data_augccpvtz,
+)
+
+# merge the derived Li/B/Ne + second-row extension into STO-3G
+_STO3G = dict(data_sto3g.BASIS)
+_STO3G.update(data_sto3g_ext.BASIS)
 
 L_LABELS = {"S": 0, "P": 1, "D": 2, "F": 3, "G": 4}
 
 _REGISTRY = {
-    "sto-3g": data_sto3g.BASIS,
-    "sto3g": data_sto3g.BASIS,
+    "sto-3g": _STO3G,
+    "sto3g": _STO3G,
     "6-31g": data_631g.BASIS,
     "631g": data_631g.BASIS,
     "cc-pvdz": data_ccpvdz.BASIS,
