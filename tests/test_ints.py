@@ -97,3 +97,36 @@ def test_df_vs_exact_jk():
     B = np.einsum("Ppq,PQ->Qpq", j3, V)
     K_df = np.einsum("Qpr,rs,Qsq->pq", B, D, B)
     assert np.abs(K_df - K_exact).max() < 2e-2
+
+
+def test_native_engine_matches_python():
+    """Native C++ ERI engine (if built) is bit-compatible with the Python
+    McMurchie-Davidson reference path."""
+    from xtddft_tpu.ints import native
+    from xtddft_tpu.ints.two_electron import _quartet_cart  # noqa: F401
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library not built")
+    import os
+
+    from xtddft_tpu.chem import Molecule
+    from xtddft_tpu.ints import build_layout
+    from xtddft_tpu.ints.autoaux import autoaux_layout
+
+    mol = Molecule.from_atoms("O 0 0 0; H 0 0 0.97", basis="cc-pvdz", spin=1)
+    lay = build_layout(mol)
+    e_c = native.eri_full_native(lay)
+    os.environ["XTDDFT_NO_NATIVE"] = "1"
+    try:
+        from xtddft_tpu.ints.two_electron import eri_full, eri_3c
+
+        e_py = eri_full(lay)
+        assert np.abs(e_py - e_c).max() < 1e-13
+        aux = autoaux_layout(mol)
+        j3_py = eri_3c(lay, aux)
+    finally:
+        del os.environ["XTDDFT_NO_NATIVE"]
+    j3_c = native.eri_3c_native(lay, aux)
+    assert np.abs(j3_py - j3_c).max() < 1e-12

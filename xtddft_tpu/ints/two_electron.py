@@ -73,7 +73,16 @@ def _sph4(block_cart, la, lb, lc, ld):
 
 
 def eri_full(layout: BasisLayout, omega=None) -> np.ndarray:
-    """Full (nao,nao,nao,nao) spherical ERI tensor, chemists' notation (ij|kl)."""
+    """Full (nao,nao,nao,nao) spherical ERI tensor, chemists' notation (ij|kl).
+
+    Dispatches to the native engine (xtddft_native) when built; the Python
+    path below is the reference implementation and handles the
+    range-separated (omega) kernel."""
+    if omega is None or omega == 0:
+        from xtddft_tpu.ints import native
+
+        if native.available():
+            return native.eri_full_native(layout)
     shells = layout.shells
     nsh = len(shells)
     nao = layout.nao
@@ -133,6 +142,11 @@ def _aux_pair(sh: Shell) -> ShellPair:
 
 def eri_3c(layout: BasisLayout, aux: BasisLayout, omega=None) -> np.ndarray:
     """(P|mu nu) three-center integrals, shape (naux, nao, nao)."""
+    if omega is None or omega == 0:
+        from xtddft_tpu.ints import native
+
+        if native.available():
+            return native.eri_3c_native(layout, aux)
     shells = layout.shells
     nsh = len(shells)
     out = np.zeros((aux.nao, layout.nao, layout.nao))
