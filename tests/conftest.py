@@ -25,6 +25,13 @@ def fh_roks():
 
 
 @pytest.fixture(scope="session")
+def fh_roks_df():
+    """Same FH triplet, converged through the density-fitted SCF."""
+    mol = Molecule.from_atoms("F 0 0 0; H 0 0 1.0", basis="6-31g", spin=2)
+    return ROKS(mol, xc="bhandhlyp", grid_level=1, df=True).kernel()
+
+
+@pytest.fixture(scope="session")
 def h2_rhf():
     mol = Molecule.from_atoms("H 0 0 0; H 0 0 1.4", basis="sto-3g", unit="bohr")
     return RHF(mol).kernel()

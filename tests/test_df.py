@@ -28,7 +28,7 @@ def test_df_xtda_matches_incore(oh_rohf):
     op = xtda_sigma_df(data)
     e_df, _, conv = davidson(
         op.matvec, op.hdiag, nroots=6, init_guess=op.init_guess(6),
-        pick_positive=True,
+        pick_positive=True, tol=1e-6,
     )
     assert np.all(conv)
     # pick_positive: compare against the positive part of the dense spectrum
@@ -115,3 +115,37 @@ def test_xsf_df_matches_incore(fh_roks):
     e_ref = np.linalg.eigvalsh(A)
     e_df = np.linalg.eigvalsh(0.5 * (A_df + A_df.T))
     assert np.abs(e_ref - e_df).max() * 27.2114 < 5e-3  # DF fit error only
+
+
+def test_driver_df_backend_xtda(fh_roks_df):
+    """Public `XTDA(mf, backend='df').kernel()` == dense path (VERDICT #3:
+    the TPU production path must be reachable from the user API)."""
+    from xtddft_tpu.methods.drivers import XTDA
+
+    rd = XTDA(fh_roks_df, nstates=4, backend="dense").kernel()
+    rf = XTDA(fh_roks_df, nstates=4, backend="df").kernel()
+    assert rf.converged
+    assert np.abs(rd.e - rf.e).max() * units.HA2EV < 2e-3
+    # blocked eigenvectors flow through the same property pipeline
+    assert np.abs(np.abs(rd.osc) - np.abs(rf.osc)).max() < 1e-3
+
+
+def test_driver_df_backend_xsftda(fh_roks_df):
+    from xtddft_tpu.methods.drivers import XSFTDA
+
+    rd = XSFTDA(fh_roks_df, nstates=4, backend="dense").kernel()
+    rf = XSFTDA(fh_roks_df, nstates=4, backend="df").kernel()
+    assert rf.converged
+    assert np.abs(rd.e - rf.e).max() * units.HA2EV < 2e-3
+
+
+def test_driver_auto_backend_selects_df():
+    """auto backend routes through DF when the Env is already in DF mode."""
+    from xtddft_tpu.methods.drivers import _resolve_backend
+    from xtddft_tpu.response import make_reference
+    from xtddft_tpu.scf import ROKS
+
+    mol = Molecule.from_atoms("O 0 0 0; H 0 0 0.97", basis="6-31g", spin=1)
+    mf = ROKS(mol, xc="b3lyp", grid_level=1, df=True).kernel()
+    ref = make_reference(mf)
+    assert _resolve_backend(ref, "auto", 100, False) == "df"

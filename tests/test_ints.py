@@ -130,3 +130,36 @@ def test_native_engine_matches_python():
         del os.environ["XTDDFT_NO_NATIVE"]
     j3_c = native.eri_3c_native(lay, aux)
     assert np.abs(j3_py - j3_c).max() < 1e-12
+
+
+def test_native_engine_omega_and_2c():
+    """Native omega-attenuated (erf) and 2-center paths match Python."""
+    from xtddft_tpu.ints import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library not built")
+    import os
+
+    from xtddft_tpu.chem import Molecule
+    from xtddft_tpu.ints import build_layout
+    from xtddft_tpu.ints.autoaux import autoaux_layout
+
+    mol = Molecule.from_atoms("O 0 0 0; H 0 0 0.97", basis="6-31g", spin=1)
+    lay = build_layout(mol)
+    aux = autoaux_layout(mol)
+    os.environ["XTDDFT_NO_NATIVE"] = "1"
+    try:
+        from xtddft_tpu.ints.two_electron import eri_2c, eri_3c, eri_full
+
+        e4 = eri_full(lay, omega=0.33)
+        e3 = eri_3c(lay, aux, omega=0.33)
+        e2 = eri_2c(aux, omega=0.33)
+        e2p = eri_2c(aux)
+    finally:
+        del os.environ["XTDDFT_NO_NATIVE"]
+    assert np.abs(e4 - native.eri_full_native(lay, omega=0.33)).max() < 1e-13
+    assert np.abs(e3 - native.eri_3c_native(lay, aux, omega=0.33)).max() < 1e-12
+    assert np.abs(e2 - native.eri_2c_native(aux, omega=0.33)).max() < 1e-12
+    assert np.abs(e2p - native.eri_2c_native(aux)).max() < 1e-12

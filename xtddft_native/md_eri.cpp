@@ -205,8 +205,13 @@ void hermite_R(int L, double alpha, double X, double Y, double Z, double* R) {
     for (int h = 0; h < HT.n; ++h) R[h] = Rn(0, h);
 }
 
-// contracted Cartesian quartet (ab|cd): out[ncab * nccd]
-void quartet(const PairData& P, const PairData& Q, double* out) {
+// contracted Cartesian quartet (ab|cd): out[ncab * nccd].
+// omega > 0 computes erf(omega*r12)/r12 attenuated integrals: the
+// attenuation rescales the Hermite Coulomb argument alpha ->
+// alpha*theta with theta = omega^2/(alpha+omega^2) and an overall
+// sqrt(theta) factor (same convention as ints/two_electron._coulomb_R).
+void quartet(const PairData& P, const PairData& Q, double* out,
+             double omega = 0.0) {
     int L = P.L + Q.L;
     const HermTab& HB = g_herm[P.L];
     const HermTab& HK = g_herm[Q.L];
@@ -235,6 +240,11 @@ void quartet(const PairData& P, const PairData& Q, double* out) {
             double q = Q.p[qq];
             double alpha = p * q / (p + q);
             double pref = 2.0 * std::pow(M_PI, 2.5) / (p * q * std::sqrt(p + q));
+            if (omega > 0.0) {
+                double theta = omega * omega / (alpha + omega * omega);
+                alpha *= theta;
+                pref *= std::sqrt(theta);
+            }
             hermite_R(L, alpha, P.Px[pp] - Q.Px[qq], P.Py[pp] - Q.Py[qq],
                       P.Pz[pp] - Q.Pz[qq], Rbuf.data());
             for (int hb = 0; hb < nhb; ++hb)
@@ -339,7 +349,8 @@ extern "C" {
 void md_eri_full(int nsh, const int* ls, const int* nprim, const int* prim_off,
                  const double* exps, const double* coefs,
                  const double* centers, const int* ao_off, int nao,
-                 const double* c2s_flat, const long* c2s_off, double* out) {
+                 const double* c2s_flat, const long* c2s_off, double* out,
+                 double omega) {
     init_tables();
     const double* c2s[LMAX + 1];
     for (int l = 0; l <= LMAX; ++l) c2s[l] = c2s_flat + c2s_off[l];
@@ -367,7 +378,7 @@ void md_eri_full(int nsh, const int* ls, const int* nprim, const int* prim_off,
             auto [a, c] = prods[w];
             auto [i, j] = pairs[a];
             auto [k, l] = pairs[c];
-            quartet(pd[a], pd[c], blk.data());
+            quartet(pd[a], pd[c], blk.data(), omega);
             sph4(blk.data(), ls[i], ls[j], ls[k], ls[l], c2s, sblk.data());
             int si = nsph(ls[i]), sj = nsph(ls[j]), sk = nsph(ls[k]),
                 sl2 = nsph(ls[l]);
@@ -402,7 +413,7 @@ void md_eri_3c(int nsh, const int* ls, const int* nprim, const int* prim_off,
                const int* nprim_x, const int* prim_off_x, const double* exps_x,
                const double* coefs_x, const double* centers_x,
                const int* ao_off_x, int naux, const double* c2s_flat,
-               const long* c2s_off, double* out) {
+               const long* c2s_off, double* out, double omega) {
     init_tables();
     const double* c2s[LMAX + 1];
     for (int l = 0; l <= LMAX; ++l) c2s[l] = c2s_flat + c2s_off[l];
@@ -432,7 +443,7 @@ void md_eri_3c(int nsh, const int* ls, const int* nprim, const int* prim_off,
                        exps + prim_off[j], coefs + prim_off[j],
                        centers + 3 * j, pd[0]);
             for (int x = 0; x < nsh_aux; ++x) {
-                quartet(aux[x], pd[0], blk.data());
+                quartet(aux[x], pd[0], blk.data(), omega);
                 // block shape (ncx*1, nca*ncb) -> sph (sx, sa, sb)
                 sph4(blk.data(), ls_x[x], 0, ls[i], ls[j], c2s, sblk.data());
                 int sx = nsph(ls_x[x]), si = nsph(ls[i]), sj = nsph(ls[j]);
@@ -447,6 +458,49 @@ void md_eri_3c(int nsh, const int* ls, const int* nprim, const int* prim_off,
                                 y] = v;
                         }
             }
+        }
+    }
+}
+
+// 2-center Coulomb metric (P|Q): out (naux, naux); each aux shell is
+// paired with a unit s function (same trick as md_eri_3c).
+void md_eri_2c(int nsh_aux, const int* ls_x, const int* nprim_x,
+               const int* prim_off_x, const double* exps_x,
+               const double* coefs_x, const double* centers_x,
+               const int* ao_off_x, int naux, const double* c2s_flat,
+               const long* c2s_off, double* out, double omega) {
+    init_tables();
+    const double* c2s[LMAX + 1];
+    for (int l = 0; l <= LMAX; ++l) c2s[l] = c2s_flat + c2s_off[l];
+    std::vector<PairData> aux(nsh_aux);
+    double unit_e = 0.0, unit_c = 1.0, origin[3];
+    for (int x = 0; x < nsh_aux; ++x) {
+        origin[0] = centers_x[3 * x];
+        origin[1] = centers_x[3 * x + 1];
+        origin[2] = centers_x[3 * x + 2];
+        build_pair(ls_x[x], nprim_x[x], exps_x + prim_off_x[x],
+                   coefs_x + prim_off_x[x], centers_x + 3 * x, 0, 1, &unit_e,
+                   &unit_c, origin, aux[x]);
+    }
+    std::vector<std::pair<int, int>> pairs;
+    for (int i = 0; i < nsh_aux; ++i)
+        for (int j = 0; j <= i; ++j) pairs.push_back({i, j});
+#pragma omp parallel
+    {
+        std::vector<double> blk(15 * 15), sblk(9 * 9);
+#pragma omp for schedule(dynamic, 8)
+        for (long w = 0; w < (long)pairs.size(); ++w) {
+            auto [i, j] = pairs[w];
+            quartet(aux[i], aux[j], blk.data(), omega);
+            sph4(blk.data(), ls_x[i], 0, ls_x[j], 0, c2s, sblk.data());
+            int si = nsph(ls_x[i]), sj = nsph(ls_x[j]);
+            int oi = ao_off_x[i], oj = ao_off_x[j];
+            for (int y = 0; y < si; ++y)
+                for (int z = 0; z < sj; ++z) {
+                    double v = sblk[(size_t)y * sj + z];
+                    out[(size_t)(oi + y) * naux + oj + z] = v;
+                    out[(size_t)(oj + z) * naux + oi + y] = v;
+                }
         }
     }
 }

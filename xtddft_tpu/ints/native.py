@@ -37,10 +37,16 @@ def _load():
     lp = ctypes.POINTER(ctypes.c_long)
     lib.md_eri_full.argtypes = [
         ctypes.c_int, ip, ip, ip, dp, dp, dp, ip, ctypes.c_int, dp, lp, dp,
+        ctypes.c_double,
     ]
     lib.md_eri_3c.argtypes = [
         ctypes.c_int, ip, ip, ip, dp, dp, dp, ip, ctypes.c_int,
         ctypes.c_int, ip, ip, ip, dp, dp, dp, ip, ctypes.c_int, dp, lp, dp,
+        ctypes.c_double,
+    ]
+    lib.md_eri_2c.argtypes = [
+        ctypes.c_int, ip, ip, ip, dp, dp, dp, ip, ctypes.c_int, dp, lp, dp,
+        ctypes.c_double,
     ]
     _LIB = lib
     return lib
@@ -77,7 +83,7 @@ def _ptr(a, ct):
     return a.ctypes.data_as(ctypes.POINTER(ct))
 
 
-def eri_full_native(layout: BasisLayout) -> np.ndarray:
+def eri_full_native(layout: BasisLayout, omega: float = 0.0) -> np.ndarray:
     lib = _load()
     ls, nprim, prim_off, exps, coefs, centers, ao_off = _pack(layout)
     c2s_flat, c2s_off = _c2s_pack()
@@ -89,11 +95,13 @@ def eri_full_native(layout: BasisLayout) -> np.ndarray:
         _ptr(coefs, ctypes.c_double), _ptr(centers, ctypes.c_double),
         _ptr(ao_off, ctypes.c_int), nao, _ptr(c2s_flat, ctypes.c_double),
         _ptr(c2s_off, ctypes.c_long), _ptr(out, ctypes.c_double),
+        float(omega),
     )
     return out
 
 
-def eri_3c_native(layout: BasisLayout, aux: BasisLayout) -> np.ndarray:
+def eri_3c_native(layout: BasisLayout, aux: BasisLayout,
+                  omega: float = 0.0) -> np.ndarray:
     lib = _load()
     ls, nprim, prim_off, exps, coefs, centers, ao_off = _pack(layout)
     lsx, nprimx, prim_offx, expsx, coefsx, centersx, ao_offx = _pack(aux)
@@ -110,6 +118,22 @@ def eri_3c_native(layout: BasisLayout, aux: BasisLayout) -> np.ndarray:
         _ptr(coefsx, ctypes.c_double), _ptr(centersx, ctypes.c_double),
         _ptr(ao_offx, ctypes.c_int), aux.nao,
         _ptr(c2s_flat, ctypes.c_double), _ptr(c2s_off, ctypes.c_long),
-        _ptr(out, ctypes.c_double),
+        _ptr(out, ctypes.c_double), float(omega),
+    )
+    return out
+
+
+def eri_2c_native(aux: BasisLayout, omega: float = 0.0) -> np.ndarray:
+    lib = _load()
+    lsx, nprimx, prim_offx, expsx, coefsx, centersx, ao_offx = _pack(aux)
+    c2s_flat, c2s_off = _c2s_pack()
+    out = np.zeros((aux.nao, aux.nao))
+    lib.md_eri_2c(
+        len(lsx), _ptr(lsx, ctypes.c_int), _ptr(nprimx, ctypes.c_int),
+        _ptr(prim_offx, ctypes.c_int), _ptr(expsx, ctypes.c_double),
+        _ptr(coefsx, ctypes.c_double), _ptr(centersx, ctypes.c_double),
+        _ptr(ao_offx, ctypes.c_int), aux.nao,
+        _ptr(c2s_flat, ctypes.c_double), _ptr(c2s_off, ctypes.c_long),
+        _ptr(out, ctypes.c_double), float(omega),
     )
     return out

@@ -78,11 +78,10 @@ def eri_full(layout: BasisLayout, omega=None) -> np.ndarray:
     Dispatches to the native engine (xtddft_native) when built; the Python
     path below is the reference implementation and handles the
     range-separated (omega) kernel."""
-    if omega is None or omega == 0:
-        from xtddft_tpu.ints import native
+    from xtddft_tpu.ints import native
 
-        if native.available():
-            return native.eri_full_native(layout)
+    if native.available():
+        return native.eri_full_native(layout, omega=omega or 0.0)
     shells = layout.shells
     nsh = len(shells)
     nao = layout.nao
@@ -142,11 +141,10 @@ def _aux_pair(sh: Shell) -> ShellPair:
 
 def eri_3c(layout: BasisLayout, aux: BasisLayout, omega=None) -> np.ndarray:
     """(P|mu nu) three-center integrals, shape (naux, nao, nao)."""
-    if omega is None or omega == 0:
-        from xtddft_tpu.ints import native
+    from xtddft_tpu.ints import native
 
-        if native.available():
-            return native.eri_3c_native(layout, aux)
+    if native.available():
+        return native.eri_3c_native(layout, aux, omega=omega or 0.0)
     shells = layout.shells
     nsh = len(shells)
     out = np.zeros((aux.nao, layout.nao, layout.nao))
@@ -173,6 +171,10 @@ def eri_3c(layout: BasisLayout, aux: BasisLayout, omega=None) -> np.ndarray:
 
 def eri_2c(aux: BasisLayout, omega=None) -> np.ndarray:
     """(P|Q) two-center Coulomb metric, shape (naux, naux)."""
+    from xtddft_tpu.ints import native
+
+    if native.available():
+        return native.eri_2c_native(aux, omega=omega or 0.0)
     out = np.zeros((aux.nao, aux.nao))
     aux_pairs = [_aux_pair(sh) for sh in aux.shells]
     for i, (shi, spi) in enumerate(zip(aux.shells, aux_pairs)):

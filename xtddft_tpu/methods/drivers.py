@@ -54,6 +54,22 @@ class _Base:
         self.nstates = nstates
 
 
+def _resolve_backend(ref: Reference, backend: str, dim: int,
+                     use_davidson) -> str:
+    """'dense' (full eigh), 'incore' (matrix-free sigma over in-core MO
+    ERIs + Davidson), or 'df' (density-fitted sigma + device Davidson —
+    the TPU production path).  'auto' picks by problem size, mirroring the
+    reference's dense->eigsh->Davidson ladder (`xtddft/XSF_TDA.py:
+    1529-1534`) but with DF as the large-system answer."""
+    if backend != "auto":
+        return backend
+    if use_davidson:  # explicit legacy flag: iterative on the in-core path
+        return "incore"
+    if ref.env.df or ref.env.nao > 120 or dim > 4000:
+        return "df"
+    return "dense"
+
+
 class TDA(_Base):
     """Closed-shell TDA (RKS/RHF reference)."""
 
@@ -101,19 +117,40 @@ class UTDA(_Base):
 
 
 class XTDA(_Base):
-    """Spin-adapted spin-conserving X-TDA on a restricted-open reference."""
+    """Spin-adapted spin-conserving X-TDA on a restricted-open reference.
+
+    backend: 'auto' (size-dispatched) | 'dense' | 'incore' | 'df'.
+    The 'df' route is the TPU production path: density-fitted sigma
+    (J/K from the fitted B tensor + MO-grid fxc + dA) with the
+    device-resident block Davidson — the TPU-native equivalent of the
+    reference's AO-direct hot loop (`xtddft/XTDA.py:520-543`)."""
 
     def __init__(self, mf, nstates: int = 10, so2st_out: bool = False,
-                 use_davidson: bool = False):
+                 use_davidson: bool = False, backend: str = "auto"):
         super().__init__(mf, nstates)
         self.so2st_out = so2st_out
         self.use_davidson = use_davidson
+        self.backend = backend
         if not self.ref.restricted_open:
             raise ValueError("XTDA requires a ROKS/ROHF reference")
 
     def kernel(self) -> ExcitationResult:
         ref = self.ref
-        if self.use_davidson:
+        dim = (ref.nc + ref.no) * ref.nv + ref.nc * (ref.no + ref.nv)
+        backend = _resolve_backend(ref, self.backend, dim, self.use_davidson)
+        if backend == "df":
+            from xtddft_tpu.response.sigma_df import build_df_data, xtda_sigma_df
+            from xtddft_tpu.solver.davidson_jit import davidson_device
+
+            op = xtda_sigma_df(build_df_data(ref))
+            e, vv, conv = davidson_device(
+                op.matvec, op.hdiag, nroots=self.nstates,
+                init_guess=op.init_guess(self.nstates),
+                pick_positive=True, tol=None,
+            )
+            v = op.to_blocked(vv)
+            converged = bool(np.all(conv))
+        elif backend == "incore":
             from xtddft_tpu.response.sigma import xtda_sigma_operator
             from xtddft_tpu.solver.davidson import davidson
 
@@ -186,11 +223,13 @@ class XSFTDA(_Base):
     """
 
     def __init__(self, mf, nstates: int = 5, SA: int | None = None,
-                 method: int = 0, use_davidson: bool = False):
+                 method: int = 0, use_davidson: bool = False,
+                 backend: str = "auto"):
         super().__init__(mf, nstates)
         self.SA = SA if SA is not None else (3 if self.ref.restricted_open else 0)
         self.method = method
         self.use_davidson = use_davidson
+        self.backend = backend
 
     def kernel(
         self,
@@ -202,6 +241,14 @@ class XSFTDA(_Base):
     ) -> ExcitationResult:
         ref = self.ref
         n = nstates if nstates is not None else self.nstates
+        if self.SA > 0 and ref.no < 2:
+            # the spin-adaptation factors contain 1/(2S-1) terms
+            # (`xtddft/XSF_TDA.py:346-350`): singular for a doublet
+            # reference — the spin-adapted flip-down ansatz needs S >= 1.
+            raise ValueError(
+                "spin-adapted XSF-TDA requires a reference with S >= 1 "
+                "(>= 2 open shells); for a doublet use SA=0 (USF-TDA)"
+            )
         if remove is None:
             remove = ref.restricted_open
         if fglobal is None:
@@ -211,7 +258,24 @@ class XSFTDA(_Base):
                 cx = ref.hyb + (ref.alpha - ref.hyb) * math.erf(ref.omega)
             fglobal = (1.0 - d_lda) * cx + d_lda
         converged = True
-        if self.use_davidson:
+        dim = (ref.nc + ref.no) * (ref.no + ref.nv)
+        backend = _resolve_backend(ref, self.backend, dim, self.use_davidson)
+        if backend == "df":
+            from xtddft_tpu.response.sigma_df import build_df_data, xsf_sigma_df
+            from xtddft_tpu.solver.davidson_jit import davidson_device
+
+            op = xsf_sigma_df(
+                build_df_data(ref), SA=self.SA, foo=foo, fglobal=fglobal,
+                method=self.method, remove=remove,
+            )
+            n = min(n, op.dim)
+            e, vv, conv = davidson_device(
+                op.matvec, op.hdiag, nroots=n,
+                init_guess=op.init_guess(n), tol=None,
+            )
+            v_full = op.to_blocked(vv)
+            converged = bool(np.all(conv))
+        elif backend == "incore":
             from xtddft_tpu.response.sigma_xsf import xsf_sigma_operator
             from xtddft_tpu.solver.davidson import davidson
 

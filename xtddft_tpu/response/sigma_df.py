@@ -54,30 +54,45 @@ class DFData:
     grid_w: jnp.ndarray | None = None
     rho0: tuple | None = None
     fock_hf_mo: np.ndarray | None = None  # (2, nmo, nmo) for dA
+    # RSH: long-range (erf-attenuated) fitted MO tensor and the K
+    # coefficient (alpha - hyb) it enters with (`xtddft/XTDA.py:94-99`)
+    B_lr: jnp.ndarray | None = None
+    hyb_lr: float = 0.0
 
     @property
     def nmo(self):
         return self.B.shape[-1]
 
 
-def build_df_data(ref: Reference, beta: float = 2.2) -> DFData:
-    """Real-molecule DF data from a converged Reference (AutoAux fit)."""
-    from xtddft_tpu.ints.autoaux import autoaux_layout
-    from xtddft_tpu.ints.two_electron import eri_2c, eri_3c
+def _mo_transform(B_ao, mo) -> jnp.ndarray:
+    """(naux, nao, nao) -> (naux, nmo, nmo), batched over aux on device."""
+    mo_d = jnp.asarray(mo)
+
+    @jax.jit
+    def one(b):
+        return mo_d.T @ b @ mo_d
+
+    return jax.lax.map(one, jnp.asarray(B_ao), batch_size=64)
+
+
+def build_df_data(ref: Reference, beta: float | None = None) -> DFData:
+    """Real-molecule DF data from a converged Reference (AutoAux fit).
+
+    Reuses the Env's cached B tensor when the Env is in DF mode (so the
+    SCF and the response share one fit); RSH references get a second
+    erf-attenuated B tensor for the long-range K term."""
+    from xtddft_tpu.scf.env import Env
 
     env = ref.env
-    if ref.omega != 0.0:
-        raise NotImplementedError("range-separated hybrids need a second "
-                                  "omega-attenuated B tensor (todo)")
-    aux = autoaux_layout(env.mol, beta=beta)
-    j3c = eri_3c(env.layout, aux)  # (naux, nao, nao)
-    j2c = eri_2c(aux)
-    w, U = np.linalg.eigh(j2c)
-    keep = w > 1e-10
-    j2c_isqrt = (U[:, keep] / np.sqrt(w[keep])[None, :]) @ U[:, keep].T
-    B_ao = np.einsum("PQ,Qmn->Pmn", j2c_isqrt, j3c)
+    if beta is not None and beta != env.aux_beta:
+        env = Env(env.mol, grid_level=env.grid_level, df=True, aux_beta=beta)
     mo = ref.mo_a
-    B = jnp.asarray(np.einsum("Pmn,mp,nq->Ppq", B_ao, mo, mo, optimize=True))
+    B = _mo_transform(env.df_B(0.0), mo)
+    B_lr = None
+    hyb_lr = 0.0
+    if ref.omega != 0.0 and abs(ref.alpha - ref.hyb) > 1e-12:
+        B_lr = _mo_transform(env.df_B(ref.omega), mo)
+        hyb_lr = ref.alpha - ref.hyb
     phi = grid_w = rho0 = None
     if ref.spec is not None and ref.spec.components:
         phi = jnp.einsum("xgm,mp->xgp", env.ao, jnp.asarray(mo))
@@ -94,7 +109,7 @@ def build_df_data(ref: Reference, beta: float = 2.2) -> DFData:
     return DFData(
         nc=ref.nc, no=ref.no, nv=ref.nv, B=B, fock_mo=fock_mo,
         hyb=ref.hyb, spec=ref.spec, phi=phi, grid_w=grid_w, rho0=rho0,
-        fock_hf_mo=fock_hf,
+        fock_hf_mo=fock_hf, B_lr=B_lr, hyb_lr=hyb_lr,
     )
 
 
@@ -188,6 +203,10 @@ def xtda_sigma_df(data: DFData, spin_adapt: bool = True,
         "fa": jnp.asarray(data.fock_mo[0], dtype=acc),
         "fb": jnp.asarray(data.fock_mo[1], dtype=acc),
     }
+    has_lr = data.B_lr is not None and data.hyb_lr != 0.0
+    hyb_lr = data.hyb_lr
+    if has_lr:
+        consts["B_lr"] = data.B_lr
     if has_xc:
         from xtddft_tpu.xc.interface import _sanitize
 
@@ -336,6 +355,13 @@ def xtda_sigma_df(data: DFData, spin_adapt: bool = True,
         v1b = jnp.einsum("Pia,xP->xia", B[:, ob, vb], t).astype(acc)
         v1a = v1a - hyb * Ka.astype(acc)
         v1b = v1b - hyb * Kb.astype(acc)
+        if has_lr:
+            # RSH long-range exchange: (alpha-hyb) * K over the
+            # erf-attenuated B (`xtddft/XTDA.py:94-99,520-543` omega split)
+            _, Ka_lr = _jk(C["B_lr"], za_b, oa, va)
+            _, Kb_lr = _jk(C["B_lr"], zb_b, ob, vb)
+            v1a = v1a - hyb_lr * Ka_lr.astype(acc)
+            v1b = v1b - hyb_lr * Kb_lr.astype(acc)
         if has_xc:
             fxa, fxb = _fxc(C, za.astype(C["phi_c"].dtype), zb.astype(C["phi_c"].dtype))
             v1a = v1a + fxa.astype(acc)
@@ -431,6 +457,10 @@ def xsf_sigma_df(data: DFData, SA: int = 3, foo: float = 1.0,
         "f_occ": jnp.asarray(data.fock_mo[0][:n_o, :n_o], dtype=acc),
         "f_vir": jnp.asarray(data.fock_mo[1][nc:, nc:], dtype=acc),
     }
+    has_lr = data.B_lr is not None and data.hyb_lr != 0.0
+    hyb_lr = data.hyb_lr
+    if has_lr:
+        consts["B_lr"] = data.B_lr
     if remove:
         consts["vects"] = jnp.asarray(sf_oo_projector(no), dtype=acc)
     has_xc = (
@@ -506,6 +536,12 @@ def xsf_sigma_df(data: DFData, SA: int = 3, foo: float = 1.0,
         K0 = jnp.zeros((nz, n_o, n_v), dtype=B.dtype)
         K, _ = jax.lax.scan(body, K0, Br)
         vs = -hyb * K.astype(acc)
+        if has_lr:
+            # RSH long-range SF exchange (same omega split as xtda_sigma_df;
+            # B_lr shares the aux layout, so the same chunking divides it)
+            Blr = C["B_lr"].reshape(naux // chunk, chunk, *C["B_lr"].shape[1:])
+            K_lr, _ = jax.lax.scan(body, K0, Blr)
+            vs = vs - hyb_lr * K_lr.astype(acc)
         if has_xc:
             phi = C["phi"]
             po = phi[:, :, oa]

@@ -100,11 +100,21 @@ class SCF:
         xc: str | None = None,
         grid_level: int = 3,
         env: Env | None = None,
+        df: bool | None = None,
+        aux_beta: float = 2.2,
     ):
         self.mol = mol
         self.kind = kind
         self.xc = xc_registry.resolve(xc) if xc is not None else None
-        self.env = env if env is not None else Env(mol, grid_level=grid_level)
+        if env is None:
+            if df is None:
+                # auto: above ~120 AOs the nao^4 in-core tensor (>1.7 GB)
+                # stops being the right default
+                from xtddft_tpu.ints import build_layout
+
+                df = build_layout(mol).nao > 120
+            env = Env(mol, grid_level=grid_level, df=df, aux_beta=aux_beta)
+        self.env = env
         self.conv_tol = 1e-11
         self.conv_tol_grad = 1e-7
         self.max_cycle = 200

@@ -10,6 +10,7 @@ from __future__ import annotations
 import dataclasses
 from functools import cached_property
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -29,12 +30,23 @@ from xtddft_tpu.ints import (
 
 @dataclasses.dataclass
 class Env:
+    """df=True switches every J/K build to density fitting: the nao^4
+    in-core ERI tensor is never formed; instead a metric-dressed
+    B[P, mu, nu] (naux, nao, nao) is built once (native C++ 3c/2c
+    integrals + eigendecomposed Coulomb metric) and J/K become a handful
+    of matmuls.  This is the real-molecule production path — the
+    reference's equivalent is AO-direct libcint J/K per SCF cycle
+    (`mf.get_jk`), which has no TPU translation at Nbf >~ 200."""
+
     mol: Molecule
     grid_level: int = 3
+    df: bool = False
+    aux_beta: float = 2.2
 
     def __post_init__(self):
         self.layout = build_layout(self.mol)
         self.nao = self.layout.nao
+        self._df_B_cache: dict[float, jnp.ndarray] = {}
 
     @cached_property
     def S(self):
@@ -91,11 +103,55 @@ class Env:
     def rxp(self):
         return jnp.asarray(angular_momentum(self.layout))
 
-    # -- J/K builds (in-core path; DF path in scf/df.py) -------------------
+    # -- density fitting ----------------------------------------------------
+    @cached_property
+    def aux_layout(self):
+        from xtddft_tpu.ints.autoaux import autoaux_layout
+
+        return autoaux_layout(self.mol, beta=self.aux_beta)
+
+    def df_B(self, omega: float = 0.0) -> jnp.ndarray:
+        """Metric-dressed (naux, nao, nao) fitted tensor so that
+        (mu nu|g|lam sig) ~= sum_P B[P,mn] B[P,ls] for g = 1/r12 (omega=0)
+        or erf(omega r12)/r12 (the RSH long-range kernel, fitted in its own
+        erf metric — the standard V-metric fit applied to the attenuated
+        kernel)."""
+        omega = float(omega or 0.0)
+        if omega not in self._df_B_cache:
+            from xtddft_tpu.ints.two_electron import eri_2c, eri_3c
+
+            j3c = eri_3c(self.layout, self.aux_layout, omega=omega or None)
+            j2c = eri_2c(self.aux_layout, omega=omega or None)
+            w, U = np.linalg.eigh(j2c)
+            keep = w > 1e-10
+            isqrt = (U[:, keep] / np.sqrt(w[keep])[None, :]) @ U[:, keep].T
+            nx, nao = j3c.shape[0], j3c.shape[1]
+            B = (isqrt @ j3c.reshape(nx, -1)).reshape(nx, nao, nao)
+            self._df_B_cache[omega] = jnp.asarray(B)
+        return self._df_B_cache[omega]
+
+    # -- J/K builds (in-core or DF, selected by self.df) --------------------
     def get_j(self, dm):
+        if self.df:
+            return _df_j(self.df_B(), jnp.asarray(dm))
         return jnp.einsum("pqrs,sr->pq", self.eri, dm)
 
     def get_k(self, dm, omega: float | None = None):
         # pyscf convention: K_pq = sum_{rs} (pr|sq) dm_rs
+        if self.df:
+            return _df_k(self.df_B(omega or 0.0), jnp.asarray(dm))
         eri = self.eri if not omega else self.eri_omega(omega)
         return jnp.einsum("prsq,rs->pq", eri, dm)
+
+
+@jax.jit
+def _df_j(B, dm):
+    t = jnp.einsum("Pls,sl->P", B, dm)
+    return jnp.einsum("Pmn,P->mn", B, t)
+
+
+@jax.jit
+def _df_k(B, dm):
+    # K_pq = sum_rs (pr|sq) dm_rs = sum_P (B[P] @ dm @ B[P])_pq
+    T = jnp.einsum("Pmr,rs->Pms", B, dm)
+    return jnp.einsum("Pms,Psn->mn", T, B)

@@ -66,6 +66,8 @@ def davidson(
     conv = np.zeros(nroots, dtype=bool)
     e = np.zeros(nroots)
     e_last = None
+    stall_count = 0
+    rmax_last = np.inf
 
     def orthonormalize(xs, basis):
         out = []
@@ -101,11 +103,22 @@ def davidson(
         resid = ax - e[:, None] * xs
         rnorm = np.linalg.norm(resid, axis=1)
         de = np.abs(e - e_last[: e.shape[0]]) if e_last is not None and e_last.shape[0] >= e.shape[0] else np.full_like(e, np.inf)
-        conv = (rnorm < tol) | (de < tol * 1e-2)
+        # `conv` means residual convergence ONLY.  A root whose eigenvalue
+        # has stagnated but whose residual is large is reported as
+        # UNconverged — the reference's pick/restart semantics keep
+        # iterating on such roots (`xtddft/utils/Davidson.py:200-281`), and
+        # "converged" must never mean "plateaued away from the true root".
+        # Stall detection watches the max unconverged RESIDUAL: when it
+        # stops decreasing for several cycles (e.g. a precision floor) the
+        # loop ends early with those roots honestly unconverged.
+        conv = rnorm < tol
+        rmax = rnorm[~conv].max() if not conv.all() else 0.0
+        stall_count = stall_count + 1 if rmax >= 0.98 * rmax_last else 0
+        rmax_last = min(rmax_last, rmax) if rmax > 0 else rmax_last
         if verbose:
             print(f"dvd cycle {cycle}: e={e} |r|={rnorm}")
         e_last = e.copy()
-        if np.all(conv):
+        if np.all(conv) or stall_count >= 4:
             break
         # preconditioned correction vectors for unconverged roots
         new = []

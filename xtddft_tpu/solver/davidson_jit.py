@@ -81,7 +81,7 @@ def davidson_device(
     hdiag,
     nroots: int = 5,
     init_guess=None,
-    tol: float = 1e-5,
+    tol: float | None = 1e-5,
     max_cycle: int = 100,
     max_space_factor: int = 6,
     pick_positive: bool = False,
@@ -118,6 +118,8 @@ def davidson_device(
     # (f32 on TPU) and doubles as the compile warm-up
     probe = matvec(jnp.asarray(init_guess))
     dtype = probe.dtype
+    if tol is None:  # dtype-aware default: f32 residuals floor near 1e-4
+        tol = 1e-6 if dtype == jnp.float64 else 3e-4
     X = jnp.asarray(init_guess, dtype=dtype)
     hdiag_d = jnp.asarray(hdiag_np, dtype=dtype)
     # one fixed random refill block, reused when pick_positive drops roots
@@ -129,6 +131,8 @@ def davidson_device(
     e = np.zeros(nroots)
     e_last = None
     conv = np.zeros(nroots, dtype=bool)
+    stall_count = 0
+    rmax_last = np.inf
     xs = None
 
     for cycle in range(max_cycle):
@@ -175,7 +179,13 @@ def davidson_device(
             if e_last is not None and e_last.shape[0] >= e.shape[0]
             else np.full_like(e, np.inf)
         )
-        conv = (rnorm < tol) | (de < tol * 1e-2)
+        # conv == residual convergence only (see solver/davidson.py); a
+        # residual-progress stall for 4 cycles ends the loop but those
+        # roots report unconverged.
+        conv = rnorm < tol
+        rmax = rnorm[~conv].max() if not conv.all() else 0.0
+        stall_count = stall_count + 1 if rmax >= 0.98 * rmax_last else 0
+        rmax_last = min(rmax_last, rmax) if rmax > 0 else rmax_last
         e_last = e.copy()
         xs_pad = xs  # (nb, dim), rows beyond nr are zero-rotations
         if verbose:
@@ -183,7 +193,7 @@ def davidson_device(
                 f"dvd-jit cycle {cycle}: ns={ns} e[:3]={e[:3]} "
                 f"|r|max={rnorm.max():.2e}"
             )
-        if np.all(conv):
+        if np.all(conv) or stall_count >= 4:
             break
 
     v = np.asarray(xs[:nroots]).T if xs is not None else np.zeros((dim, nroots))
@@ -282,7 +292,7 @@ def davidson_fulljit(
             return r / denom
 
         def body(state):
-            V, AV, ns, X, e_prev, _, _, _, cycle = state
+            V, AV, ns, X, e_prev, _, _, _, cycle, stall, rmax_prev = state
             # restart when full: current Ritz pair becomes the fresh basis
             def do_restart(args):
                 V, AV, ns = args
@@ -300,15 +310,25 @@ def davidson_fulljit(
             )
             V, AV, ns = expand(V, AV, ns, X)
             e, xs, ax, r, rnorm2 = ritz(V, AV)
-            de = jnp.abs(e - e_prev)
-            conv = (jnp.sqrt(jnp.maximum(rnorm2, 0.0)) < tol) | (de < tol * 1e-2)
+            # conv = residual test only; a 4-cycle residual-progress stall
+            # terminates the loop with those roots UNconverged (see
+            # solver/davidson.py for the semantics rationale)
+            rnorm = jnp.sqrt(jnp.maximum(rnorm2, 0.0))
+            conv = rnorm < tol
+            rmax = jnp.max(jnp.where(conv, 0.0, rnorm))
+            stall = jnp.where(
+                jnp.all(conv) | (rmax < 0.98 * rmax_prev), 0, stall + 1
+            )
+            rmax_prev = jnp.minimum(rmax_prev, jnp.where(rmax > 0, rmax, rmax_prev))
             Xn = precond(r, e)
-            return (V, AV, ns, Xn, e, xs, conv, rnorm2, cycle + 1)
+            return (V, AV, ns, Xn, e, xs, conv, rnorm2, cycle + 1, stall,
+                    rmax_prev)
 
         def cond(state):
             conv = state[6]
             cycle = state[8]
-            return (cycle < max_cycle) & ~jnp.all(conv)
+            stall = state[9]
+            return (cycle < max_cycle) & ~jnp.all(conv) & (stall < 4)
 
         V0 = jnp.zeros((max_space, dim), dtype=dtype)
         AV0 = jnp.zeros((max_space, dim), dtype=dtype)
@@ -319,8 +339,10 @@ def davidson_fulljit(
             jnp.zeros((nb,), dtype=bool),
             jnp.zeros((nb,), dtype=dtype),
             0,
+            0,
+            jnp.asarray(jnp.inf, dtype=jnp.float32),
         )
-        V, AV, ns, X, e, xs, conv, rnorm2, cycle = jax.lax.while_loop(
+        V, AV, ns, X, e, xs, conv, rnorm2, cycle, _, _ = jax.lax.while_loop(
             cond, body, state0
         )
         return e, xs, conv, cycle

@@ -53,6 +53,47 @@ def b88_x_gradient_correction(ra, rb, gaa, gab, gbb):
     return b88_x(ra, rb, gaa, gab, gbb) - slater_x(ra, rb, gaa, gab, gbb)
 
 
+def _sr_factor(a):
+    """Short-range (erfc-complement) attenuation factor of the LDA-form
+    exchange hole; a = omega / (2 k_eff).  Standard erf-screened exchange
+    result (Gill/Adamson form, as used by HSE/LC functionals):
+    F(a) = 1 - 8a/3 [sqrt(pi) erf(1/2a) - 3a + 4a^3 + (2a-4a^3) e^(-1/4a^2)]
+    with F(0)=1 (no attenuation) and F ~ 1/(18 a^2) -> 0 as a -> inf."""
+    import jax.scipy.special as jsp
+
+    a = jnp.maximum(a, 1e-10)
+    inv2a = 1.0 / (2.0 * a)
+    expo = jnp.exp(-jnp.minimum(inv2a * inv2a, 500.0))
+    bracket = (
+        jnp.sqrt(jnp.pi) * jsp.erf(inv2a)
+        - 3.0 * a
+        + 4.0 * a**3
+        + (2.0 * a - 4.0 * a**3) * expo
+    )
+    return jnp.clip(1.0 - (8.0 / 3.0) * a * bracket, 0.0, 1.0)
+
+
+def _b88_sr_spin(r, g, omega):
+    """ITYH short-range B88 (Iikura-Tsuneda-Yanai-Hirao, JCP 115, 3540):
+    attenuate the GGA exchange energy density with the LDA-form factor at
+    an *effective* Fermi momentum k_eff = -(4 pi / 3) eps_x^GGA, chosen so
+    the scheme is exact in the LDA limit (eps_x^LDA = -3 k_F / 4 pi)."""
+    r = _safe_rho(r)
+    e = _b88_spin(r, g)  # energy per volume (negative)
+    k_eff = -(4.0 * jnp.pi / 3.0) * (e / r)
+    a = omega / (2.0 * jnp.maximum(k_eff, 1e-12))
+    return e * _sr_factor(a)
+
+
+def make_b88_sr(omega: float):
+    """Short-range (erf-complement) B88 exchange at fixed omega."""
+
+    def b88_sr(ra, rb, gaa, gab, gbb):
+        return _b88_sr_spin(ra, gaa, omega) + _b88_sr_spin(rb, gbb, omega)
+
+    return b88_sr
+
+
 _PBE_KAPPA = 0.8040
 _PBE_MU = 0.2195149727645171
 
@@ -227,4 +268,6 @@ FUNCTIONALS = {
     "pw92": pw92_c,
     "lyp": lyp_c,
     "pbe_c": pbe_c,
+    # fixed-omega short-range exchange components for RSH composites
+    "b88_sr@0.33": make_b88_sr(0.33),
 }

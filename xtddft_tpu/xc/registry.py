@@ -68,11 +68,13 @@ _reg(
 _reg("bhandhlyp", [(0.5, "b88"), (1.0, "lyp")], hyb=0.5)
 _reg("bhhlyp", [(0.5, "b88"), (1.0, "lyp")], hyb=0.5)
 _reg("pbe0", [(0.75, "pbe_x"), (1.0, "pbe_c")], hyb=0.25)
-# CAM-B3LYP: correct RSH coefficients; grid part approximates the SR-B88
-# attenuation by plain B88 (exact attenuated GGA exchange kernel: TODO)
+# CAM-B3LYP (Yanai et al., CPL 393, 51): HF exchange alpha + beta*erf
+# with alpha=0.19, beta=0.46; the DFT-exchange complement is
+# (1-alpha-beta)*B88 + beta*SR-B88(omega) with the ITYH attenuation
+# (`xc/functionals.make_b88_sr`); correlation 0.19 VWN5 + 0.81 LYP.
 _reg(
     "camb3lyp",
-    [(0.35, "b88"), (0.19, "vwn5"), (0.81, "lyp")],
+    [(0.35, "b88"), (0.46, "b88_sr@0.33"), (0.19, "vwn5"), (0.81, "lyp")],
     hyb=0.19,
     alpha=0.65,
     omega=0.33,
