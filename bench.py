@@ -45,11 +45,14 @@ def main():
         nroots=nroots, init_guess=op.init_guess(nroots),
         tol=2e-3,  # bf16-B residual floor
         max_space_factor=8,
+        return_info=True,
     )
+    # warm-up: compiles the fused solve; davidson_fulljit reuses one jit
+    # wrapper per configuration, so the timed call below never re-traces
     davidson_fulljit(op.matvec_raw, op.consts, op.hdiag, **kw)
 
     t0 = time.perf_counter()
-    e, v, conv = davidson_fulljit(op.matvec_raw, op.consts, op.hdiag, **kw)
+    e, v, conv, info = davidson_fulljit(op.matvec_raw, op.consts, op.hdiag, **kw)
     wall = time.perf_counter() - t0
 
     assert np.all(np.isfinite(e))
@@ -59,7 +62,8 @@ def main():
                 "metric": "xtda_df_davidson_20roots_nbf1000",
                 "value": round(wall, 3),
                 "unit": f"s (nmo={nmo}, naux={naux}, ngrid={ngrid}, "
-                        f"nconv={int(conv.sum())}/{nroots}, bf16-B/f32, 1 chip)",
+                        f"nconv={int(conv.sum())}/{nroots}, "
+                        f"cycles={info['cycles']}, bf16-B/f32, 1 chip)",
                 "vs_baseline": round(60.0 / wall, 2),
             }
         )

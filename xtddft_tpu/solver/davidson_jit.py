@@ -200,41 +200,40 @@ def davidson_device(
     return e[:nroots], v, conv[:nroots]
 
 
-def davidson_fulljit(
-    matvec_raw,
-    consts,
-    hdiag,
-    nroots: int = 5,
-    init_guess=None,
-    tol: float = 3e-4,
-    max_cycle: int = 60,
-    max_space_factor: int = 12,
-    pick_positive: bool = False,
-    pos_threshold: float = 1e-3,
-):
-    """Fully-jitted block Davidson: the ENTIRE solve is one device dispatch
-    (lax.while_loop), so remote-tunnel latency is paid once instead of
-    several times per cycle.  The subspace eigenproblem is solved on device
-    as a generalized pencil via canonical orthogonalization with masked
-    (BIG-shifted) invalid directions.
+def _solver_cache_key(matvec_raw, dim, nb, max_space, tol, max_cycle,
+                      pick_positive, pos_threshold):
+    return (matvec_raw, dim, nb, max_space, tol, max_cycle, pick_positive,
+            pos_threshold)
 
-    matvec_raw(consts, z): pure sigma build with all tensors as arguments.
-    Returns (e (nroots,), v (dim, nroots), conv (nroots,)) as numpy.
-    """
-    hdiag_np = np.asarray(hdiag)
-    dim = hdiag_np.shape[0]
-    nroots = min(nroots, dim)
-    if init_guess is None:
-        idx = np.argsort(hdiag_np)[:nroots]
-        init_guess = np.zeros((nroots, dim), dtype=np.float32)
-        init_guess[np.arange(nroots), idx] = 1.0
-    init_guess = np.asarray(init_guess)
-    nb = init_guess.shape[0]
-    rng = np.random.default_rng(7)
-    max_space = min(dim, max(nb, nb * max_space_factor))
-    max_space = max(nb, nb * (max_space // nb))
-    BIG = 1e8
 
+_SOLVER_CACHE: dict = {}
+
+
+def _get_fulljit_solver(matvec_raw, dim, nb, max_space, tol, max_cycle,
+                        pick_positive, pos_threshold):
+    """Build (once per configuration) the single-dispatch jitted solve.
+
+    The jit wrapper MUST be reused across davidson_fulljit calls: a fresh
+    wrapper per call re-traces and (on a cold XLA cache) recompiles the
+    entire fused solve INSIDE the caller's timed/production region — the
+    whole point of the fully-jitted solver is that the compile is paid
+    once at warm-up."""
+    key = _solver_cache_key(matvec_raw, dim, nb, max_space, tol, max_cycle,
+                            pick_positive, pos_threshold)
+    solver = _SOLVER_CACHE.get(key)
+    if solver is None:
+        solver = _build_fulljit_solver(
+            matvec_raw, dim, nb, max_space, tol, max_cycle, pick_positive,
+            pos_threshold,
+        )
+        if len(_SOLVER_CACHE) > 32:
+            _SOLVER_CACHE.clear()
+        _SOLVER_CACHE[key] = solver
+    return solver
+
+
+def _build_fulljit_solver(matvec_raw, dim, nb, max_space, tol, max_cycle,
+                          pick_positive, pos_threshold):
     @jax.jit
     def _solve(consts, X0, hdiag_d, fill):
         dtype = X0.dtype
@@ -347,6 +346,49 @@ def davidson_fulljit(
         )
         return e, xs, conv, cycle
 
+    return _solve
+
+
+def davidson_fulljit(
+    matvec_raw,
+    consts,
+    hdiag,
+    nroots: int = 5,
+    init_guess=None,
+    tol: float = 3e-4,
+    max_cycle: int = 60,
+    max_space_factor: int = 12,
+    pick_positive: bool = False,
+    pos_threshold: float = 1e-3,
+    return_info: bool = False,
+):
+    """Fully-jitted block Davidson: the ENTIRE solve is one device dispatch
+    (lax.while_loop), so remote-tunnel latency is paid once instead of
+    several times per cycle.  The subspace eigenproblem is solved on device
+    as a generalized pencil via canonical orthogonalization with masked
+    (shifted) invalid directions.
+
+    matvec_raw(consts, z): pure sigma build with all tensors as arguments.
+    Returns (e (nroots,), v (dim, nroots), conv (nroots,)) as numpy; with
+    return_info, appends a dict with the cycle count.
+    """
+    hdiag_np = np.asarray(hdiag)
+    dim = hdiag_np.shape[0]
+    nroots = min(nroots, dim)
+    if init_guess is None:
+        idx = np.argsort(hdiag_np)[:nroots]
+        init_guess = np.zeros((nroots, dim), dtype=np.float32)
+        init_guess[np.arange(nroots), idx] = 1.0
+    init_guess = np.asarray(init_guess)
+    nb = init_guess.shape[0]
+    rng = np.random.default_rng(7)
+    max_space = min(dim, max(nb, nb * max_space_factor))
+    max_space = max(nb, nb * (max_space // nb))
+
+    _solve = _get_fulljit_solver(
+        matvec_raw, dim, nb, max_space, float(tol), int(max_cycle),
+        bool(pick_positive), float(pos_threshold),
+    )
     # probe dtype with one matvec (also the compile warm-up for matvec)
     X0 = jnp.asarray(init_guess)
     probe = matvec_raw(consts, X0)
@@ -356,4 +398,7 @@ def davidson_fulljit(
     e, xs, conv, cycle = _solve(consts, X0, hdiag_d, fill)
     e = np.asarray(e)[:nroots]
     v = np.asarray(xs)[:nroots].T
-    return e, v, np.asarray(conv)[:nroots]
+    conv = np.asarray(conv)[:nroots]
+    if return_info:
+        return e, v, conv, {"cycles": int(cycle)}
+    return e, v, conv
