@@ -34,6 +34,7 @@ class ExcitationResult:
     rot: np.ndarray | None = None
     ds2: np.ndarray | None = None
     converged: bool = True
+    irreps: list | None = None  # Mulliken labels (with symmetry=True)
 
     @property
     def e_eV(self) -> np.ndarray:
@@ -126,11 +127,13 @@ class XTDA(_Base):
     reference's AO-direct hot loop (`xtddft/XTDA.py:520-543`)."""
 
     def __init__(self, mf, nstates: int = 10, so2st_out: bool = False,
-                 use_davidson: bool = False, backend: str = "auto"):
+                 use_davidson: bool = False, backend: str = "auto",
+                 symmetry: bool = False):
         super().__init__(mf, nstates)
         self.so2st_out = so2st_out
         self.use_davidson = use_davidson
         self.backend = backend
+        self.symmetry = symmetry
         if not self.ref.restricted_open:
             raise ValueError("XTDA requires a ROKS/ROHF reference")
 
@@ -171,10 +174,16 @@ class XTDA(_Base):
         osc = oscillator.spin_conserving_osc(ref, e, v)
         rot = oscillator.spin_conserving_rot(ref, e, v)
         ds2 = spin.xtda_delta_s2(ref, v)
+        irreps = None
+        if self.symmetry:
+            # the reference's calculate_irrep (`xtddft/XTDA.py:1467`)
+            from xtddft_tpu.props.irreps import state_irreps
+
+            irreps, _ = state_irreps(ref, v, kind="spin_conserving")
         if self.so2st_out:
             v = so2st(v, ref.nc, ref.no, ref.nv)
         return ExcitationResult(e=e, v=v, osc=osc, rot=rot, ds2=ds2,
-                                converged=converged)
+                                converged=converged, irreps=irreps)
 
 
 class SFTDA(_Base):
