@@ -1,0 +1,105 @@
+"""Analytic (Lagrangian/autodiff) gradients vs finite differences.
+
+The reference validates its hand-derived Z-vector gradients against FD
+(`/root/reference/grad_jp/grad/xtdhf.py:576-686`,
+`usfcis-rohf-test.py:487-541`); same harness here, against
+`grad/lagrangian.py`.  HF references only (the module's documented
+scope).
+"""
+
+import numpy as np
+import pytest
+
+from xtddft_tpu.chem import Molecule
+from xtddft_tpu.grad import fd_excited_gradient, fd_gradient
+from xtddft_tpu.grad.lagrangian import ExcitedGradients, scf_gradient
+from xtddft_tpu.methods.drivers import TDA, UTDA, XTDA
+from xtddft_tpu.scf import RHF, ROHF, UHF
+
+
+@pytest.fixture(scope="module")
+def h2o_rhf():
+    mol = Molecule.from_atoms("O 0 0 0; H 0 0 0.96; H 0.93 0 -0.25",
+                              basis="sto-3g")
+    return RHF(mol).kernel()
+
+
+@pytest.fixture(scope="module")
+def oh_rohf():
+    mol = Molecule.from_atoms("O 0 0 0; H 0 0 0.98", basis="sto-3g", spin=1)
+    return ROHF(mol).kernel()
+
+
+@pytest.fixture(scope="module")
+def oh_uhf():
+    mol = Molecule.from_atoms("O 0 0 0; H 0 0 0.98", basis="sto-3g", spin=1)
+    return UHF(mol).kernel()
+
+
+def test_scf_gradient_rhf_vs_fd(h2o_rhf):
+    ga = scf_gradient(h2o_rhf)
+    gf = fd_gradient(h2o_rhf, h=1e-3)
+    assert np.abs(ga - gf).max() < 5e-6
+    assert np.abs(ga.sum(axis=0)).max() < 1e-9
+
+
+def test_scf_gradient_rohf_vs_fd(oh_rohf):
+    ga = scf_gradient(oh_rohf)
+    gf = fd_gradient(oh_rohf, h=1e-3)
+    assert np.abs(ga - gf).max() < 5e-6
+
+
+def test_cis_states_match_driver(h2o_rhf):
+    eg = ExcitedGradients(h2o_rhf, method="cis")
+    e, _ = eg.states(3)
+    res = TDA(h2o_rhf, nstates=3).kernel()
+    assert np.abs(np.asarray(e) - np.asarray(res.e[:3])).max() < 1e-8
+
+
+def test_cis_gradient_vs_fd(h2o_rhf):
+    eg = ExcitedGradients(h2o_rhf, method="cis")
+    ga, _ = eg.kernel(state=0)
+    gf = fd_excited_gradient(h2o_rhf, lambda mf: TDA(mf, nstates=1),
+                             state=0, h=1e-3, atoms=[1])
+    assert np.abs(ga[1] - gf[1]).max() < 2e-5
+    assert np.abs(ga.sum(axis=0)).max() < 1e-8
+
+
+def test_ucis_states_match_driver(oh_uhf):
+    eg = ExcitedGradients(oh_uhf, method="ucis")
+    e, _ = eg.states(3)
+    res = UTDA(oh_uhf, nstates=3).kernel()
+    assert np.abs(np.asarray(e) - np.asarray(res.e[:3])).max() < 1e-8
+
+
+def test_ucis_gradient_vs_fd(oh_uhf):
+    eg = ExcitedGradients(oh_uhf, method="ucis")
+    ga, _ = eg.kernel(state=0)
+    gf = fd_excited_gradient(oh_uhf, lambda mf: UTDA(mf, nstates=1),
+                             state=0, h=1e-3, atoms=[1])
+    assert np.abs(ga[1] - gf[1]).max() < 2e-5
+
+
+def test_xcis_states_match_xtda(oh_rohf):
+    eg = ExcitedGradients(oh_rohf, method="xcis")
+    e, _ = eg.states(3)
+    res = XTDA(oh_rohf, nstates=3).kernel()
+    assert np.abs(np.asarray(e) - np.asarray(res.e[:3])).max() < 1e-7
+
+
+def test_xcis_gradient_vs_fd(oh_rohf):
+    eg = ExcitedGradients(oh_rohf, method="xcis")
+    ga, _ = eg.kernel(state=0)
+    gf = fd_excited_gradient(oh_rohf, lambda mf: XTDA(mf, nstates=1),
+                             state=0, h=1e-3, atoms=[1])
+    assert np.abs(ga[1] - gf[1]).max() < 2e-5
+    assert np.abs(ga.sum(axis=0)).max() < 1e-8
+
+
+def test_dft_rejected():
+    from xtddft_tpu.scf import RKS
+
+    mol = Molecule.from_atoms("H 0 0 0; H 0 0 0.74", basis="sto-3g")
+    mfk = RKS(mol, xc="svwn", grid_level=1).kernel()
+    with pytest.raises(NotImplementedError):
+        ExcitedGradients(mfk, method="cis")

@@ -1,0 +1,343 @@
+"""Analytic excited-state nuclear gradients via a differentiable Lagrangian.
+
+The reference implements excited-state gradients as hand-derived Z-vector
+codes over libcint derivative integrals (`/root/reference/grad_jp/grad/
+xtdhf.py:15-433` ``grad_elec`` for X-CIS on ROHF; `usfcis*.py`,
+`rtdhf.py`, `utdhf.py`).  Here the same physics is obtained from three
+autodiff ingredients over the differentiable integral layer
+(`ints/jaxints.py`) — no derivative-integral ladders, no hand-coded
+coupled-perturbed equations:
+
+1.  Orbitals are parametrized as C(kappa, R) = C_orth(R) expm(K) where
+    C_orth(R) re-orthonormalizes the converged MOs against S(R) (a smooth
+    Cholesky connection) and K is an antisymmetric rotation over the
+    nonredundant pairs.  SCF convergence means g = dE_scf/dkappa = 0.
+2.  The Z-vector equation  H z = d(omega)/d(kappa)  is solved by CG with
+    Hessian-vector products from ``jax.jvp`` of the kappa-gradient
+    (H = d2 E_scf / dkappa2, the electronic orbital Hessian).
+3.  The total gradient is one ``jax.grad`` over coordinates of
+        Phi(R) = E_scf(R, 0) + omega(R, 0) - z . g(R, 0),
+    which is the standard Lagrangian result
+    dE/dR = partial_R(E_scf + omega) - z . partial_R g.
+
+The excitation energy omega is written directly as the quadratic form
+X^T A(C) X of each method (CIS / UCIS / X-CIS with the spin-adapted dA of
+`xtddft/XTDA.py:291-331`), and the eigenvector itself is obtained from
+``jax.hessian`` of that same expression — the gradient and the
+eigenproblem cannot drift apart.
+
+HF references only (RHF/UHF/ROHF); DFT needs the differentiable grid
+(tracked in GAPS.md).  Validated against the FD harness in
+tests/test_grad_analytic.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xtddft_tpu.ints.jaxints import make_integral_fn
+
+__all__ = ["ExcitedGradients", "scf_gradient"]
+
+
+def _nuclear_repulsion(coords, charges):
+    d = coords[:, None, :] - coords[None, :, :]
+    r = jnp.sqrt(jnp.sum(d * d, axis=-1) + jnp.eye(coords.shape[0]))
+    zz = charges[:, None] * charges[None, :]
+    off = 1.0 - jnp.eye(coords.shape[0])
+    return 0.5 * jnp.sum(off * zz / r)
+
+
+def _jk_energy(eri, da, db):
+    dt = da + db
+    J = jnp.einsum("pqrs,sr->pq", eri, dt)
+    Ka = jnp.einsum("prsq,rs->pq", eri, da)
+    Kb = jnp.einsum("prsq,rs->pq", eri, db)
+    e2 = 0.5 * jnp.einsum("pq,qp->", dt, J)
+    e2 -= 0.5 * (jnp.einsum("pq,qp->", da, Ka) + jnp.einsum("pq,qp->", db, Kb))
+    return e2, J, Ka, Kb
+
+
+def _rot_pairs(kind: str, nmo: int, na: int, nb: int):
+    """Nonredundant orbital-rotation index pairs (rows, cols).
+
+    rhf: occ-vir; rohf: closed-open, closed-vir, open-vir (the three
+    variational spaces of the Roothaan solution); uhf: per-spin occ-vir
+    (two stacked pair sets, the kappa vector is their concatenation)."""
+    if kind in ("rhf", "rks"):
+        occ = np.arange(nb)
+        vir = np.arange(nb, nmo)
+        pi, pj = np.meshgrid(occ, vir, indexing="ij")
+        return [(pi.ravel(), pj.ravel())]
+    if kind in ("rohf", "roks"):
+        pairs = []
+        c = np.arange(nb)
+        o = np.arange(nb, na)
+        v = np.arange(na, nmo)
+        for rows, cols in ((c, o), (c, v), (o, v)):
+            if len(rows) and len(cols):
+                pi, pj = np.meshgrid(rows, cols, indexing="ij")
+                pairs.append((pi.ravel(), pj.ravel()))
+        return [tuple(np.concatenate(x) for x in zip(*pairs))]
+    if kind in ("uhf", "uks"):
+        out = []
+        for n in (na, nb):
+            occ = np.arange(n)
+            vir = np.arange(n, nmo)
+            pi, pj = np.meshgrid(occ, vir, indexing="ij")
+            out.append((pi.ravel(), pj.ravel()))
+        return out
+    raise ValueError(kind)
+
+
+def _orthonormalize(C0, S):
+    """Smooth orbital connection: C_orth(R) = C0 L^{-T} with
+    L = chol(C0^T S(R) C0); equals C0 at the reference geometry."""
+    M = C0.T @ S @ C0
+    L = jnp.linalg.cholesky(M)
+    return jax.scipy.linalg.solve_triangular(L, C0.T, lower=True).T
+
+
+def _rotate(C, kvec, pairs, nmo):
+    K = jnp.zeros((nmo, nmo))
+    K = K.at[pairs[0], pairs[1]].set(kvec)
+    K = K.at[pairs[1], pairs[0]].add(-kvec)
+    return C @ jax.scipy.linalg.expm(K)
+
+
+@dataclasses.dataclass
+class ExcitedGradients:
+    """Analytic gradients of CIS-type excited states of an HF reference.
+
+    method: 'cis' (RHF, singlet), 'cis-triplet', 'ucis' (UHF), or
+    'xcis' (spin-adapted X-CIS on ROHF, the HF limit of X-TDA).
+    """
+
+    mf: object
+    method: str = "xcis"
+
+    def __post_init__(self):
+        mf = self.mf
+        if mf.xc is not None:
+            raise NotImplementedError(
+                "Lagrangian gradients are HF-only for now (differentiable "
+                "grids for DFT are tracked in GAPS.md); use grad.fd_* for DFT"
+            )
+        self.kind = mf.kind
+        mol = mf.mol
+        self.coords0 = np.asarray(mol.coords, dtype=np.float64)
+        self.charges = jnp.asarray(np.asarray(mol.charges, dtype=np.float64))
+        self.na, self.nb = mol.nalpha, mol.nbeta
+        self._ints = make_integral_fn(mf.env.layout)
+        if self.kind in ("uhf", "uks"):
+            self.C0 = [jnp.asarray(mf.mo_coeff[0]), jnp.asarray(mf.mo_coeff[1])]
+            self.nmo = self.C0[0].shape[1]
+        else:
+            self.C0 = [jnp.asarray(mf.mo_coeff)]
+            self.nmo = self.C0[0].shape[1]
+        self.pairs = _rot_pairs(self.kind, self.nmo, self.na, self.nb)
+        self.nk = sum(len(p[0]) for p in self.pairs)
+
+    # -- orbital parametrization -------------------------------------------
+    def _orbs(self, ints, kvec):
+        """C(kappa, R) per spin channel."""
+        S = ints["S"]
+        if self.kind in ("uhf", "uks"):
+            n0 = len(self.pairs[0][0])
+            Ca = _rotate(_orthonormalize(self.C0[0], S), kvec[:n0],
+                         self.pairs[0], self.nmo)
+            Cb = _rotate(_orthonormalize(self.C0[1], S), kvec[n0:],
+                         self.pairs[1], self.nmo)
+            return Ca, Cb
+        C = _rotate(_orthonormalize(self.C0[0], S), kvec, self.pairs[0],
+                    self.nmo)
+        return C, C
+
+    def _ints0(self):
+        """Integrals at the reference geometry, computed once and cached —
+        every kappa-space derivative (Ritz Hessian, Z-vector RHS, CG HVPs)
+        reuses them instead of re-tracing the integral build."""
+        if getattr(self, "_ints0_cache", None) is None:
+            self._ints0_cache = jax.jit(self._ints)(jnp.asarray(self.coords0))
+        return self._ints0_cache
+
+    # -- SCF energy -----------------------------------------------------------
+    def _e_elec(self, ints, kvec):
+        Ca, Cb = self._orbs(ints, kvec)
+        da = Ca[:, : self.na] @ Ca[:, : self.na].T
+        db = Cb[:, : self.nb] @ Cb[:, : self.nb].T
+        h = ints["T"] + ints["V"]
+        e2, _, _, _ = _jk_energy(ints["eri"], da, db)
+        e1 = jnp.einsum("pq,qp->", h, da + db)
+        return e1 + e2
+
+    def _e_scf(self, coords, kvec):
+        return self._e_elec(self._ints(coords), kvec) + _nuclear_repulsion(
+            coords, self.charges
+        )
+
+    # -- excitation energy as a quadratic form -------------------------------
+    def _x_dims(self):
+        na, nb, nmo = self.na, self.nb, self.nmo
+        if self.method in ("cis", "cis-triplet"):
+            return [(nb, nmo - nb)]
+        if self.method == "ucis":
+            return [(na, nmo - na), (nb, nmo - nb)]
+        if self.method == "xcis":
+            # X-TDA space: alpha (na x nv_a) + beta (nb x nv_b)
+            return [(na, nmo - na), (nb, nmo - nb)]
+        raise ValueError(self.method)
+
+    @property
+    def xdim(self) -> int:
+        return sum(o * v for o, v in self._x_dims())
+
+    def _omega(self, coords, kvec, x):
+        return self._omega_i(self._ints(coords), kvec, x)
+
+    def _omega_i(self, ints, kvec, x):
+        """omega = X^T A X for the chosen method; x is the packed,
+        unit-norm eigenvector."""
+        eri = ints["eri"]
+        Ca, Cb = self._orbs(ints, kvec)
+        h = ints["T"] + ints["V"]
+        na, nb = self.na, self.nb
+        da = Ca[:, :na] @ Ca[:, :na].T
+        db = Cb[:, :nb] @ Cb[:, :nb].T
+        _, J, Ka, Kb = _jk_energy(eri, da, db)
+        Fa = h + J - Ka
+        Fb = h + J - Kb
+        Fa_mo = Ca.T @ Fa @ Ca
+        Fb_mo = Cb.T @ Fb @ Cb
+
+        dims = self._x_dims()
+        if self.method in ("cis", "cis-triplet"):
+            no, nv = dims[0]
+            z = x.reshape(no, nv)
+            Co, Cv = Ca[:, :no], Ca[:, no:]
+            w = jnp.einsum("ia,ab,ib->", z, Fa_mo[no:, no:], z)
+            w -= jnp.einsum("ia,ij,ja->", z, Fa_mo[:no, :no], z)
+            t1 = Co @ z @ Cv.T  # AO transition density
+            if self.method == "cis":
+                w += 2.0 * jnp.einsum("pq,pqrs,rs->", t1, eri, t1)
+            w -= jnp.einsum("pr,pqrs,qs->", t1, eri, t1)
+            return w
+
+        (noa, nva), (nob, nvb) = dims
+        za = x[: noa * nva].reshape(noa, nva)
+        zb = x[noa * nva :].reshape(nob, nvb)
+        Coa, Cva = Ca[:, :noa], Ca[:, noa:]
+        Cob, Cvb = Cb[:, :nob], Cb[:, nob:]
+        w = jnp.einsum("ia,ab,ib->", za, Fa_mo[noa:, noa:], za)
+        w -= jnp.einsum("ia,ij,ja->", za, Fa_mo[:noa, :noa], za)
+        w += jnp.einsum("ia,ab,ib->", zb, Fb_mo[nob:, nob:], zb)
+        w -= jnp.einsum("ia,ij,ja->", zb, Fb_mo[:nob, :nob], zb)
+        t1a = Coa @ za @ Cva.T
+        t1b = Cob @ zb @ Cvb.T
+        dt = t1a + t1b
+        w += jnp.einsum("pq,pqrs,rs->", dt, eri, dt)  # Coulomb
+        w -= jnp.einsum("pr,pqrs,qs->", t1a, eri, t1a)  # same-spin exchange
+        w -= jnp.einsum("pr,pqrs,qs->", t1b, eri, t1b)
+        if self.method == "ucis":
+            return w
+
+        # X-CIS spin adaptation: dA from the ROHF alpha/beta Fock difference
+        # with the S-dependent factors of `xtddft/XTDA.py:298-307` (same
+        # math as response/sigma_df.py: xtda_sigma_df's dA block)
+        nc, no = nb, na - nb
+        nv = self.nmo - na
+        si = 0.5 * no
+        f1 = 0.5 * (1.0 - jnp.sqrt((si + 1) / si) + 1.0 / (2 * si))
+        f2 = 0.5 * (-1.0 + jnp.sqrt((si + 1) / si) + 1.0 / (2 * si))
+        fx = 0.5 / (2.0 * si)
+        dF = Fb_mo - Fa_mo  # ROHF: same C for both spins
+        dFV = dF[na:, na:]
+        dFC = dF[:nc, :nc]
+        zac = za[:nc, :]          # CV(alpha) rows
+        zbv = zb[:, no:]          # CV(beta) columns
+        coup_a = f1 * jnp.einsum("ib,ab->ia", zac, dFV) + f2 * jnp.einsum(
+            "ja,ij->ia", zac, dFC
+        )
+        cross_b = fx * (
+            jnp.einsum("ib,ab->ia", zbv, dFV)
+            + jnp.einsum("ja,ij->ia", zbv, dFC)
+        )
+        coup_b = f2 * jnp.einsum("ib,ab->ia", zbv, dFV) + f1 * jnp.einsum(
+            "ja,ij->ia", zbv, dFC
+        )
+        cross_a = fx * (
+            jnp.einsum("ib,ab->ia", zac, dFV)
+            + jnp.einsum("ja,ij->ia", zac, dFC)
+        )
+        w += jnp.einsum("ia,ia->", zac, coup_a - cross_b)
+        w += jnp.einsum("ia,ia->", zbv, coup_b - cross_a)
+        return w
+
+    # -- eigenstates (consistency by construction) ----------------------------
+    def states(self, nstates: int = 5):
+        """(e, X) from the dense eigenproblem of THIS module's quadratic
+        form: A = 1/2 d2(omega)/dX2.  Cross-checked against the method
+        drivers in tests."""
+        k0 = jnp.zeros(self.nk)
+        ints0 = self._ints0()
+
+        @jax.jit
+        def hess(x0):
+            return 0.5 * jax.hessian(
+                lambda x: self._omega_i(ints0, k0, x)
+            )(x0)
+
+        A = hess(jnp.zeros(self.xdim))
+        e, v = np.linalg.eigh(np.asarray(A))
+        return e[:nstates], v[:, :nstates]
+
+    # -- the gradient ---------------------------------------------------------
+    def kernel(self, state: int = 0, nstates: int | None = None,
+               cg_tol: float = 1e-9):
+        """(natm, 3) gradient of E_scf + omega_state.  Returns
+        (grad, omega_state)."""
+        nst = state + 1 if nstates is None else nstates
+        e, v = self.states(nst)
+        x = jnp.asarray(v[:, state])
+        k0 = jnp.zeros(self.nk)
+        c0 = jnp.asarray(self.coords0)
+        ints0 = self._ints0()
+
+        # kappa-space pieces at the reference geometry reuse the cached
+        # integrals (Enuc has no kappa dependence)
+        gk_elec = jax.grad(self._e_elec, argnums=1)
+        b = jax.jit(jax.grad(self._omega_i, argnums=1))(ints0, k0, x)
+
+        @jax.jit
+        def hvp(vv):
+            return jax.jvp(lambda k: gk_elec(ints0, k), (k0,), (vv,))[1]
+
+        z, _ = jax.scipy.sparse.linalg.cg(hvp, b, tol=cg_tol, maxiter=400)
+        z = jax.block_until_ready(z)
+
+        def phi(coords):
+            ints = self._ints(coords)
+            g_k = jax.grad(self._e_elec, argnums=1)(ints, k0)
+            return (
+                self._e_elec(ints, k0)
+                + _nuclear_repulsion(coords, self.charges)
+                + self._omega_i(ints, k0, x)
+                - jnp.dot(z, g_k)
+            )
+
+        g = jax.jit(jax.grad(phi))(c0)
+        return np.asarray(g), float(e[state])
+
+
+def scf_gradient(mf) -> np.ndarray:
+    """(natm, 3) analytic ground-state HF gradient by pure autodiff:
+    jax.grad of E_scf(R, kappa=0) — SCF stationarity kills the orbital
+    response, the Cholesky connection carries the Pulay terms."""
+    eg = ExcitedGradients(mf, method="cis")  # method only shapes the X space
+    c0 = jnp.asarray(eg.coords0)
+    k0 = jnp.zeros(eg.nk)
+    return np.asarray(jax.jit(jax.grad(eg._e_scf))(c0, k0))
