@@ -1,0 +1,66 @@
+"""sfX2C ground state (`SCF(x2c=True)`) and the external-potential hook.
+
+The reference's SOC pipeline runs on `scf.sfx2c(dft.ROKS(mol))`
+(`/root/reference/x2c_hamiltonian/test_SOCSI.py:141`) and adds a
+`v_solvent` AO potential when present
+(`/root/reference/xtddft/sTDA/os_sTDA.py:446-447`).
+"""
+
+import numpy as np
+import pytest
+
+from xtddft_tpu.chem import Molecule
+from xtddft_tpu.scf.driver import SCF
+
+
+@pytest.fixture(scope="module")
+def o_triplet():
+    return Molecule.from_atoms("O 0 0 0", basis="sto-3g", spin=2)
+
+
+def test_sfx2c_scf_converges_and_lowers_energy(o_triplet):
+    nr = SCF(o_triplet, "rohf").kernel()
+    x2c = SCF(o_triplet, "rohf", x2c=True).kernel()
+    assert nr.converged and x2c.converged
+    shift = x2c.e_tot - nr.e_tot
+    # scalar-relativistic lowering for O: tens of mHa, not Ha
+    assert -0.1 < shift < -0.01
+
+
+def test_sfx2c_hcore_symmetric(o_triplet):
+    env = SCF(o_triplet, "rohf", x2c=True).env
+    h = np.asarray(env.hcore)
+    assert np.abs(h - h.T).max() < 1e-10
+
+
+def test_sfx2c_heavier_element_converges():
+    # etb generated basis + x2c: the heavy-element pathway (As pipeline)
+    mol = Molecule.from_atoms("Cl 0 0 0", basis="sto-3g", spin=1)
+    x2c = SCF(mol, "rohf", x2c=True).kernel()
+    nr = SCF(mol, "rohf").kernel()
+    assert x2c.converged
+    assert x2c.e_tot < nr.e_tot - 0.5  # ~1.4 Ha scalar shift for Z=17
+
+
+def test_v_ext_constant_shift(o_triplet):
+    """v_ext = eps*S shifts every orbital energy by eps and the total
+    energy by exactly eps * nelectron, leaving the density invariant."""
+    from xtddft_tpu.ints import build_layout
+    from xtddft_tpu.ints.one_electron import overlap
+
+    eps = 0.01
+    S = np.asarray(overlap(build_layout(o_triplet)))
+    mf0 = SCF(o_triplet, "rohf").kernel()
+    mf1 = SCF(o_triplet, "rohf", v_ext=eps * S).kernel()
+    nelec = o_triplet.nalpha + o_triplet.nbeta
+    assert mf1.e_tot - mf0.e_tot == pytest.approx(eps * nelec, abs=1e-8)
+
+
+def test_etb_basis_near_hf_limit():
+    """Generated even-tempered basis approaches the numerical ROHF limit
+    (O 3P: -74.8129 Ha) to ~10 mHa -- the heavy-element data pathway
+    (`chem/basis/even_tempered.py`)."""
+    mol = Molecule.from_atoms("O 0 0 0", basis="etb", spin=2)
+    mf = SCF(mol, "rohf").kernel()
+    assert mf.converged
+    assert abs(mf.e_tot - (-74.8129)) < 0.012

@@ -49,6 +49,15 @@ def get_element_basis(basis_name: str, symbol: str):
     segmented contractions.
     """
     name = normalize_name(basis_name)
+    if name == "etb":
+        # generated even-tempered basis (heavy elements / X2C work);
+        # see chem/basis/even_tempered.py
+        from xtddft_tpu.chem.basis.even_tempered import etb_element_basis
+        from xtddft_tpu.chem.elements import charge_of as atomic_number
+
+        table = {symbol.capitalize(): etb_element_basis(atomic_number(symbol))}
+        _REGISTRY.setdefault("etb", {}).update(table)
+        table = _REGISTRY["etb"]
     try:
         table = _REGISTRY[name]
     except KeyError as exc:

@@ -102,9 +102,17 @@ class SCF:
         env: Env | None = None,
         df: bool | None = None,
         aux_beta: float = 2.2,
+        v_ext=None,
+        x2c: bool = False,
     ):
+        """v_ext: optional static external AO potential (nao, nao) added to
+        the core Hamiltonian — the embedding/solvation hook (the reference
+        adds a pyscf `v_solvent` the same way, `/root/reference/xtddft/
+        sTDA/os_sTDA.py:446-447`; a fixed reaction field is the scope
+        here, no self-consistent PCM solver)."""
         self.mol = mol
         self.kind = kind
+        self.v_ext = None if v_ext is None else np.asarray(v_ext)
         self.xc = xc_registry.resolve(xc) if xc is not None else None
         if env is None:
             if df is None:
@@ -113,7 +121,8 @@ class SCF:
                 from xtddft_tpu.ints import build_layout
 
                 df = build_layout(mol).nao > 120
-            env = Env(mol, grid_level=grid_level, df=df, aux_beta=aux_beta)
+            env = Env(mol, grid_level=grid_level, df=df, aux_beta=aux_beta,
+                      x2c=x2c)
         self.env = env
         self.conv_tol = 1e-11
         self.conv_tol_grad = 1e-7
@@ -197,6 +206,8 @@ class SCF:
         env = self.env
         S = np.asarray(env.S)
         h = np.asarray(env.hcore)
+        if self.v_ext is not None:
+            h = h + self.v_ext
         X = _sym_orth(S)
         na, nb = mol.nalpha, mol.nbeta
         enuc = mol.energy_nuc()

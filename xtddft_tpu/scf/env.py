@@ -42,6 +42,7 @@ class Env:
     grid_level: int = 3
     df: bool = False
     aux_beta: float = 2.2
+    x2c: bool = False
 
     def __post_init__(self):
         self.layout = build_layout(self.mol)
@@ -62,7 +63,30 @@ class Env:
 
     @cached_property
     def hcore(self):
+        if self.x2c:
+            return jnp.asarray(self._sfx2c_hcore())
         return self.T + self.V
+
+    def _sfx2c_hcore(self) -> np.ndarray:
+        """Picture-changed spin-free X2C one-electron Hamiltonian in the
+        contracted AO basis: decouple in the fully uncontracted basis
+        (`soc/x2c.py: sfx2c1e`, the reference's `scf.sfx2c(...)` ground
+        state, `/root/reference/x2c_hamiltonian/test_SOCSI.py:141`,
+        `xtddft/XSF_TDA.py:317-321`), then project back through the
+        contraction coefficients.  Replaces T + V wholesale; every
+        consumer (SCF Fock, the spin-adapted dA ROHF Fock in
+        `response/reference_state.py`) picks it up automatically."""
+        from xtddft_tpu import units
+        from xtddft_tpu.soc import x2c as x2c_mod
+        from xtddft_tpu.soc.somf import nuclear_deriv2
+
+        unc, contr = x2c_mod.uncontract(self.layout)
+        t = kinetic(unc)
+        v = nuclear_attraction(unc)
+        s = overlap(unc)
+        w_sf, _ = nuclear_deriv2(unc)
+        _, _, h1e = x2c_mod.sfx2c1e(t, v, w_sf, s, units.C_AU)
+        return contr.T @ h1e @ contr
 
     @cached_property
     def eri(self):
