@@ -72,16 +72,20 @@ def test_fh_usf_alda0():
     assert np.abs(r.e * units.HA2EV - ref).max() < 5e-3
 
 
-def test_fh_xsf_mcol_qualitative(fh_sigma_roks):
-    """Multicollinear vs stored mcfun numbers: same structure (degenerate
-    pair, same state ordering, shifts of the right scale), but this build's
-    closed-form mc kernel is not numerically identical to mcfun's sampling
-    (see `xc/mcol.py`); gate loosely."""
+def test_fh_xsf_mcol(fh_sigma_roks):
+    """Multicollinear vs the stored mcfun numbers
+    (`example/XSF_TDA.ipynb` cell 3): the closed-form mc kernel of
+    `xc/mcol.py` is numerically equivalent to mcfun's direction sampling
+    (the spherical average of e + sigma.de/dsigma integrates by parts to
+    (1/2) int_{-1}^{1} H(t) dt), and the dA damping carries the
+    reference's 4(cx-1/2)^2 mcol fit factor
+    (`xtddft/XSF_TDA.py:1517-1518`) — parity is a few meV (grid +
+    quadrature differences only)."""
     r = XSFTDA(fh_sigma_roks, nstates=4, method=1).kernel()
     e = r.e * units.HA2EV
     ref = np.array([-12.16628, -2.57263, -2.57263, 3.04828])
     assert abs(e[1] - e[2]) < 1e-4  # degenerate Pi pair preserved
-    assert np.abs(e - ref).max() < 0.5
+    assert np.abs(e - ref).max() < 5e-3
 
 
 @pytest.fixture(scope="module")

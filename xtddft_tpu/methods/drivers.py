@@ -247,6 +247,7 @@ class XSFTDA(_Base):
         foo: float = 1.0,
         d_lda: float = 0.3,
         fglobal: float | None = None,
+        fit: bool = True,
     ) -> ExcitationResult:
         ref = self.ref
         n = nstates if nstates is not None else self.nstates
@@ -266,6 +267,12 @@ class XSFTDA(_Base):
             else:
                 cx = ref.hyb + (ref.alpha - ref.hyb) * math.erf(ref.omega)
             fglobal = (1.0 - d_lda) * cx + d_lda
+            if self.method == 1 and fit:
+                # the reference damps the dA spin-adaptation on the
+                # multicollinear kernel with a 4(cx-1/2)^2 fit factor
+                # (`xtddft/XSF_TDA.py:1517-1518`) — exactly zero for
+                # half-and-half hybrids
+                fglobal = fglobal * 4.0 * (cx - 0.5) ** 2
         converged = True
         dim = (ref.nc + ref.no) * (ref.no + ref.nv)
         backend = _resolve_backend(ref, self.backend, dim, self.use_davidson)

@@ -76,14 +76,15 @@ def sf_kernel_mcol(spec: XCSpec, weights, rho0, nt: int = 20):
     hess = jax.hessian(e_point, argnums=0)
 
     # Integrate (1/2) int_{-1}^{1} H(t) dt = int_0^1 H(t) dt (even integrand)
-    # with the substitution t = sin(pi u / 2): the cos weight tames the
-    # endpoint derivative singularities of LDA-type f_ss at full spin
-    # polarization ((1-t)^{-2/3} -> (1-t)^{-1/6} effective).
+    # with the substitution t = 1 - (1-u)^3: at full spin polarization the
+    # integrand diverges like (1-t)^{-2/3} (LDA-exchange f_ss at rho_b -> 0)
+    # and the cubic substitution maps it to a BOUNDED integrand
+    # ((1-u)^{-2} * 3(1-u)^2 = 3), so Gauss-Legendre in u converges fast.
     u, wu = np.polynomial.legendre.leggauss(nt)
     u = 0.5 * (u + 1.0)
     wu = 0.5 * wu
-    x = jnp.asarray(np.sin(0.5 * np.pi * u))
-    wt = jnp.asarray(wu * 0.5 * np.pi * np.cos(0.5 * np.pi * u))
+    x = jnp.asarray(1.0 - (1.0 - u) ** 3)
+    wt = jnp.asarray(wu * 3.0 * (1.0 - u) ** 2)
 
     sv0 = jnp.concatenate([m_s[None, :], gm_s], axis=0).T  # (ng, 4)
     gn_T = gn_s.T  # (ng, 3)
