@@ -149,3 +149,36 @@ def test_driver_auto_backend_selects_df():
     mf = ROKS(mol, xc="b3lyp", grid_level=1, df=True).kernel()
     ref = make_reference(mf)
     assert _resolve_backend(ref, "auto", 100, False) == "df"
+
+
+def test_spmd_real_molecule_davidson_parity(fh_roks):
+    """Full sharded Davidson on a REAL molecule (FH triplet, DF X-TDA
+    sigma) over the 8-device mesh: eigenvalues must match the
+    single-device solve to 1e-6 Ha (same fit, same physics, different
+    collective schedule)."""
+    import jax
+    import jax.numpy as jnp
+    from xtddft_tpu.parallel.mesh import make_mesh, shard_df_data, trial_sharding
+    from xtddft_tpu.response import make_reference
+    from xtddft_tpu.response.sigma_df import build_df_data, xtda_sigma_df
+    from xtddft_tpu.solver.davidson_jit import davidson_device
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    data = build_df_data(make_reference(fh_roks))
+    nroots = 4
+    op1 = xtda_sigma_df(data)
+    e1, _, conv1 = davidson_device(
+        op1.matvec, op1.hdiag, nroots=nroots,
+        init_guess=op1.init_guess(nroots), pick_positive=True,
+    )
+    mesh = make_mesh(8)
+    op = xtda_sigma_df(shard_df_data(data, mesh), spmd=True)
+    x0 = jax.device_put(jnp.asarray(op.init_guess(nroots)),
+                        trial_sharding(mesh))
+    e, _, conv = davidson_device(
+        op.matvec, op.hdiag, nroots=nroots, init_guess=np.asarray(x0),
+        pick_positive=True,
+    )
+    assert bool(np.all(conv1)) and bool(np.all(conv))
+    assert np.abs(e - e1).max() < 1e-6

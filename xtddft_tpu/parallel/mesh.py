@@ -32,40 +32,6 @@ def make_mesh(n_devices: int | None = None, axes=("dp", "tp")) -> Mesh:
     return Mesh(np.array(devs).reshape(shape), axes)
 
 
-def shard_reference(ref, mesh: Mesh):
-    """Return a copy of `ref` whose device tensors are sharded over `mesh`:
-    ERI over its first AO axis, grid arrays over the grid axis."""
-    import dataclasses
-
-    env = ref.env
-    sh_eri = NamedSharding(mesh, P("tp", None, None, None))
-    sh_ao = NamedSharding(mesh, P(None, "tp", None))
-    sh_w = NamedSharding(mesh, P("tp"))
-    new_env_fields = {}
-    eri = jax.device_put(env.eri, sh_eri)
-    ao = jax.device_put(env.ao, sh_ao)
-    w = jax.device_put(env.grid_weights, sh_w)
-
-    if hasattr(env, "mol"):  # real Env: wrap with overridden cached tensors
-        class _ShardedEnv:
-            def __init__(self, base):
-                self._base = base
-                self.eri = eri
-                self.ao = ao
-                self.grid_weights = w
-
-            def __getattr__(self, name):
-                return getattr(self._base, name)
-
-            def eri_omega(self, omega):
-                return jax.device_put(self._base.eri_omega(omega), sh_eri)
-
-        new_env = _ShardedEnv(env)
-    else:  # synthetic env (dataclass)
-        new_env = dataclasses.replace(env, eri=eri, ao=ao, grid_weights=w)
-    return dataclasses.replace(ref, env=new_env)
-
-
 def trial_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("dp", None))
 
@@ -74,22 +40,44 @@ def shard_df_data(data, mesh: Mesh):
     """Shard a DFData over the mesh for the SPMD sigma path: the fitted B
     tensor over its auxiliary axis and the grid tensors over the grid axis
     (both are contraction axes -> GSPMD inserts psum over ICI); Fock
-    matrices stay replicated."""
+    matrices stay replicated.
+
+    Real-molecule data has arbitrary naux/ngrid: both axes are padded to
+    a multiple of the tp size.  Padding is *exact*: zero B rows add
+    nothing to the J/K sums, and padded grid points carry weight 0 (with
+    density 1 so the fxc kernels stay finite — the zero weight removes
+    their contribution)."""
     import dataclasses
+
+    import jax.numpy as jnp
+
+    tp = mesh.shape["tp"]
+
+    def _pad(a, axis, fill=0.0):
+        a = jnp.asarray(a)
+        n = a.shape[axis]
+        rem = (-n) % tp
+        if rem == 0:
+            return a
+        widths = [(0, 0)] * a.ndim
+        widths[axis] = (0, rem)
+        return jnp.pad(a, widths, constant_values=fill)
 
     sh_aux = NamedSharding(mesh, P("tp", None, None))
     sh_grid_lead = NamedSharding(mesh, P("tp"))
     sh_phi = NamedSharding(mesh, P(None, "tp", None))
     sh_g3 = NamedSharding(mesh, P(None, "tp"))
-    kw = {"B": jax.device_put(data.B, sh_aux)}
+    kw = {"B": jax.device_put(_pad(data.B, 0), sh_aux)}
+    if data.B_lr is not None:
+        kw["B_lr"] = jax.device_put(_pad(data.B_lr, 0), sh_aux)
     if data.phi is not None:
-        kw["phi"] = jax.device_put(data.phi, sh_phi)
-        kw["grid_w"] = jax.device_put(data.grid_w, sh_grid_lead)
+        kw["phi"] = jax.device_put(_pad(data.phi, 1), sh_phi)
+        kw["grid_w"] = jax.device_put(_pad(data.grid_w, 0), sh_grid_lead)
         ra, rb, ga, gb = data.rho0
         kw["rho0"] = (
-            jax.device_put(ra, sh_grid_lead),
-            jax.device_put(rb, sh_grid_lead),
-            jax.device_put(ga, sh_g3),
-            jax.device_put(gb, sh_g3),
+            jax.device_put(_pad(ra, 0, 1.0), sh_grid_lead),
+            jax.device_put(_pad(rb, 0, 1.0), sh_grid_lead),
+            jax.device_put(_pad(ga, 1), sh_g3),
+            jax.device_put(_pad(gb, 1), sh_g3),
         )
     return dataclasses.replace(data, **kw)
