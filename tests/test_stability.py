@@ -1,0 +1,49 @@
+"""SCF internal stability analysis (`scf/stability.py`) — the
+reference's stability-retry guard (`test_SOCSI.py:20-27`).
+
+Canonical physics case: stretched H2.  UHF seeded from the RHF orbitals
+converges to the spin-symmetric saddle point; the internal Hessian has a
+negative eigenvalue, and following it lands on the lower broken-symmetry
+UHF solution.
+"""
+
+import numpy as np
+import pytest
+
+from xtddft_tpu.chem import Molecule
+from xtddft_tpu.scf import RHF, RKS
+from xtddft_tpu.scf.driver import SCF
+from xtddft_tpu.scf.stability import internal_stability, stable_scf
+
+
+@pytest.fixture(scope="module")
+def h2_stretched():
+    return Molecule.from_atoms("H 0 0 0; H 0 0 2.2", basis="sto-3g")
+
+
+def test_stable_solution_reports_stable(h2_stretched):
+    mol = Molecule.from_atoms("H 0 0 0; H 0 0 0.74", basis="sto-3g")
+    mf = RHF(mol).kernel()
+    stable, w_min, mo = internal_stability(mf)
+    assert stable and w_min > 0
+    assert mo is mf.mo_coeff
+
+
+def test_uhf_saddle_detected_and_escaped(h2_stretched):
+    mf_r = RHF(h2_stretched).kernel()
+    scf_u = SCF(h2_stretched, "uhf")
+    seed = np.stack([np.asarray(mf_r.mo_coeff)] * 2)
+    mf_sym = scf_u.kernel(init=seed)
+    # the spin-symmetric UHF solution at 2.2 A is a saddle
+    stable, w_min, mo = internal_stability(mf_sym)
+    assert not stable and w_min < -1e-3
+    # the retry loop lands on the broken-symmetry minimum, lower in energy
+    mf_bs = stable_scf(scf_u, init=seed)
+    assert mf_bs.e_tot < mf_sym.e_tot - 1e-4
+    assert internal_stability(mf_bs)[0]
+
+
+def test_dft_rejected(h2_stretched):
+    mfk = RKS(h2_stretched, xc="svwn", grid_level=1).kernel()
+    with pytest.raises(NotImplementedError):
+        internal_stability(mfk)
