@@ -64,3 +64,18 @@ def test_etb_basis_near_hf_limit():
     mf = SCF(mol, "rohf").kernel()
     assert mf.converged
     assert abs(mf.e_tot - (-74.8129)) < 0.012
+
+
+def test_anodz_molecular_quality():
+    """Generated ANO-DZ contractions (tools/make_ano_basis.py) reach
+    published-DZ quality: H2O RHF within 20 mHa of the cc-pVDZ table."""
+    from xtddft_tpu.scf import RHF
+
+    geom = "O 0 0 0; H 0 0 0.96; H 0.93 0 -0.25"
+    e_ano = RHF(Molecule.from_atoms(geom, basis="ano-dz")).kernel().e_tot
+    e_ccd = RHF(Molecule.from_atoms(geom, basis="cc-pvdz")).kernel().e_tot
+    assert abs(e_ano - e_ccd) < 0.020
+    # heavy element from the same generator: HCl near the HF limit
+    e_hcl = RHF(Molecule.from_atoms("Cl 0 0 0; H 0 0 1.27",
+                                    basis="ano-dz")).kernel().e_tot
+    assert abs(e_hcl - (-460.09)) < 0.06

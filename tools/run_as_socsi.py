@@ -4,8 +4,8 @@ Mirrors `/root/reference/x2c_hamiltonian/test_SOCSI.py:130-147`: an As
 atom (4S_3/2 ground state, S=3/2), sfx2c scalar-relativistic ROKS
 reference, 20 states per spin manifold, full SOMF Vso, state
 interaction.  The reference uses cc-pVDZ from PySCF's library; offline
-we use the self-generated even-tempered basis (`chem/basis/
-even_tempered.py`, uncontracted, DZ/TZ atomic quality) — the physics
+we use the self-generated ANO-DZ basis (`tools/make_ano_basis.py`,
+natural-orbital contractions of the even-tempered primitives) — the physics
 checks (4S ground state barely split, 2D/2P SOC splittings of the right
 scale) are basis-robust.
 
@@ -36,7 +36,7 @@ def main():
         nstates = int(sys.argv[sys.argv.index("--nstates") + 1])
 
     t0 = time.time()
-    mol = Molecule.from_atoms("As 0 0 0", basis="etb", spin=3)
+    mol = Molecule.from_atoms("As 0 0 0", basis="ano-dz", spin=3)
     kind = "rohf" if hf else "roks"
     xc = None if hf else "bhandhlyp"
     mf = SCF(mol, kind, xc=xc, grid_level=2, x2c=True).kernel()
@@ -54,7 +54,7 @@ def main():
 
     out = {
         "molecule": "As",
-        "basis": "etb",
+        "basis": "ano-dz",
         "reference": f"sfx2c-{kind}" + ("" if hf else "/bhandhlyp"),
         "nstates": nstates,
         "e_scf": float(mf.e_tot),
