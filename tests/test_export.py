@@ -35,3 +35,22 @@ def test_timer():
         pass
     rep = t.report()
     assert "a" in rep and t.counts["a"] == 2 and t.totals["a"] >= 0.01
+
+
+def test_scf_checkpoint_roundtrip(tmp_path):
+    """save_mf/load_mf reproduce the MeanField and its response physics."""
+    import numpy as np
+    from xtddft_tpu.chem import Molecule
+    from xtddft_tpu.methods.drivers import XTDA
+    from xtddft_tpu.scf import ROHF
+    from xtddft_tpu.scf.checkpoint import load_mf, save_mf
+
+    mol = Molecule.from_atoms("O 0 0 0; H 0 0 0.98", basis="sto-3g", spin=1)
+    mf = ROHF(mol).kernel()
+    p = str(tmp_path / "mf.npz")
+    save_mf(mf, p)
+    mf2 = load_mf(p)
+    assert mf2.e_tot == mf.e_tot and mf2.converged
+    e1 = XTDA(mf, nstates=3).kernel().e
+    e2 = XTDA(mf2, nstates=3).kernel().e
+    assert np.abs(e1 - e2).max() < 1e-12
