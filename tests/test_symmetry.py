@@ -116,3 +116,18 @@ def test_xtda_state_irreps_ch2o_cation():
     labeled = [l for l in res.irreps if l != "?"]
     assert len(labeled) >= 3  # most low states are symmetry-clean
     assert set(labeled) <= {"A1", "A2", "B1", "B2"}
+
+
+def test_xsftda_state_irreps():
+    """Spin-flip layout labeling: XSFTDA(symmetry=True) on the CH2
+    triplet (C2v)."""
+    from xtddft_tpu.methods.drivers import XSFTDA
+    from xtddft_tpu.scf import ROHF
+
+    mol = Molecule.from_atoms(
+        "C 0 0 0; H 0 0.99 -0.3; H 0 -0.99 -0.3", basis="sto-3g", spin=2)
+    mf = ROHF(mol).kernel()
+    res = XSFTDA(mf, nstates=3, symmetry=True, backend="dense").kernel()
+    assert res.irreps is not None and len(res.irreps) == 3
+    assert set(res.irreps) <= {"A1", "A2", "B1", "B2", "?"}
+    assert any(l != "?" for l in res.irreps)

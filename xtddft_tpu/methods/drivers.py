@@ -233,12 +233,13 @@ class XSFTDA(_Base):
 
     def __init__(self, mf, nstates: int = 5, SA: int | None = None,
                  method: int = 0, use_davidson: bool = False,
-                 backend: str = "auto"):
+                 backend: str = "auto", symmetry: bool = False):
         super().__init__(mf, nstates)
         self.SA = SA if SA is not None else (3 if self.ref.restricted_open else 0)
         self.method = method
         self.use_davidson = use_davidson
         self.backend = backend
+        self.symmetry = symmetry
 
     def kernel(
         self,
@@ -324,4 +325,10 @@ class XSFTDA(_Base):
             ds2 = spin.xsf_delta_s2_roks(ref, v_full)
         else:
             ds2 = spin.xsf_delta_s2_uks(ref, v_full)
-        return ExcitationResult(e=e, v=v_full, ds2=ds2, converged=converged)
+        irreps = None
+        if self.symmetry:
+            from xtddft_tpu.props.irreps import state_irreps
+
+            irreps, _ = state_irreps(ref, v_full, kind="spin_flip")
+        return ExcitationResult(e=e, v=v_full, ds2=ds2, converged=converged,
+                                irreps=irreps)
