@@ -79,3 +79,24 @@ def test_osc_strengths_physical(o_si):
     # f >= 0 for upward transitions from the SOC ground state
     fs = [o_si.osc_strength(0, j) for j in range(1, min(12, o_si.dim))]
     assert all(f > -1e-10 for f in fs)
+
+
+def test_as_atom_socsi_golden():
+    """Heavy-element SOC-SI regression: the As-atom pipeline
+    (sfx2c-ROKS/BHandHLYP, ano-dz, `tools/run_as_socsi.py` — the
+    reference's `x2c_hamiltonian/test_SOCSI.py:130-147` target) against
+    its stored golden spectrum."""
+    import json
+    import pathlib
+
+    p = (pathlib.Path(__file__).parent / "data" / "golden_as_socsi.json")
+    if not p.exists():
+        pytest.skip("As golden not generated (tools/run_as_socsi.py)")
+    g = json.loads(p.read_text())
+    e = np.asarray(g["eso_cm"])
+    # 4S_3/2 ground state: 4 microstates, SOC leaves them degenerate
+    assert np.all(np.abs(e[:4]) < 20.0)
+    # excited doublet manifolds exist and carry SOC splittings of
+    # hundreds of cm^-1 (2D/2P J-splitting scale for Z=33)
+    assert e[4] > 1000.0
+    assert np.all(np.diff(e) > -1e-6)  # sorted spectrum

@@ -62,9 +62,14 @@ def main():
         "t_scf_s": round(t_scf, 1),
         "t_xtda_s": round(t_td, 1),
     }
-    path = pathlib.Path(__file__).resolve().parents[1] / "tests" / "data" / "golden_ttm.json"
-    path.parent.mkdir(exist_ok=True)
+    data_dir = pathlib.Path(__file__).resolve().parents[1] / "tests" / "data"
+    data_dir.mkdir(exist_ok=True)
+    path = data_dir / "golden_ttm.json"
     path.write_text(json.dumps(out, indent=1))
+
+    from xtddft_tpu.scf.checkpoint import save_mf
+
+    save_mf(mf, str(data_dir / "ttm_incore_ckpt.npz"))
     print("wrote", path, f"(total {time.time()-t_all:.0f}s)")
 
 
