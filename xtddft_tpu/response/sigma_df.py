@@ -113,6 +113,29 @@ def build_df_data(ref: Reference, beta: float | None = None) -> DFData:
     )
 
 
+def cast_df_data(data: DFData, dtype=np.float32, b_dtype=None) -> DFData:
+    """Precision-cast a (typically f64 host-built) DFData for the chip hot
+    path: B in ``b_dtype`` (bf16 halves the dominant HBM tensor), grid
+    and Fock tensors in ``dtype``.  The f64 original stays on host for
+    Rayleigh-Ritz refinement of the chip eigenpairs (bench.py)."""
+    import dataclasses
+
+    bd = b_dtype if b_dtype is not None else dtype
+    kw = {
+        "B": jnp.asarray(data.B, dtype=bd),
+        "fock_mo": np.asarray(data.fock_mo, dtype=dtype),
+    }
+    if data.B_lr is not None:
+        kw["B_lr"] = jnp.asarray(data.B_lr, dtype=bd)
+    if data.fock_hf_mo is not None:
+        kw["fock_hf_mo"] = np.asarray(data.fock_hf_mo, dtype=dtype)
+    if data.phi is not None:
+        kw["phi"] = jnp.asarray(data.phi, dtype=dtype)
+        kw["grid_w"] = jnp.asarray(data.grid_w, dtype=dtype)
+        kw["rho0"] = tuple(jnp.asarray(r, dtype=dtype) for r in data.rho0)
+    return dataclasses.replace(data, **kw)
+
+
 def synthetic_df_data(nmo=1000, nc=78, no=2, naux=2000, ngrid=49152,
                       xc: str = "bhandhlyp", seed: int = 0,
                       dtype=np.float32, b_dtype=None) -> DFData:
