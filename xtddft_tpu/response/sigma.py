@@ -61,36 +61,48 @@ class SigmaOperator:
 
 # ------------------------------------------------------- spin-conserving
 
-def make_uks_vresp(ref: Reference):
-    """Jittable UKS response: dms (n,2,nao,nao) -> v1ao (n,2,nao,nao).
-    J + fxc - hyb*K (+ RSH correction), hermi=0 (`xtddft/XTDA.py:482-556`)."""
+def _uks_vresp_consts(ref: Reference) -> dict:
+    """Device tensors of the UKS response, as a pytree to pass through
+    jit arguments (closure-capturing them bakes multi-GB constants into
+    the HLO and triggers minutes-long XLA constant folding per compiled
+    shape — the TPU anti-pattern tracked in GAPS.md)."""
     env = ref.env
-    spec = ref.spec
-    eri = env.eri
-    hyb, alpha, omega = ref.hyb, ref.alpha, ref.omega
-    eri_w = env.eri_omega(omega) if (omega != 0 and abs(alpha - hyb) > 1e-12) else None
-    has_xc = spec is not None and bool(spec.components)
-    if has_xc:
-        ao = env.ao
-        w = env.grid_weights
-        rho0 = _rho0_jnp(ref)
+    consts = {"eri": env.eri}
+    if ref.omega != 0 and abs(ref.alpha - ref.hyb) > 1e-12:
+        consts["eri_w"] = env.eri_omega(ref.omega)
+    if ref.spec is not None and bool(ref.spec.components):
+        consts["ao"] = env.ao
+        consts["w"] = env.grid_weights
+        consts["rho0"] = _rho0_jnp(ref)
+    return consts
 
-    def vresp(dms):
-        dmtot = dms[:, 0] + dms[:, 1]
-        vj = jnp.einsum("pqrs,xsr->xpq", eri, dmtot)
-        v1 = jnp.stack([vj, vj], axis=1)
-        if has_xc:
-            v1 = v1 + xci.fxc_v1mat(spec, ao, w, rho0, dms, hermi=False)
-        if hyb != 0.0 or eri_w is not None:
-            vk = hyb * jnp.einsum("prsq,xrs->xpq", eri, dms.reshape(-1, *dms.shape[2:])).reshape(dms.shape)
-            if eri_w is not None:
-                vk = vk + (alpha - hyb) * jnp.einsum(
-                    "prsq,xrs->xpq", eri_w, dms.reshape(-1, *dms.shape[2:])
-                ).reshape(dms.shape)
-            v1 = v1 - vk
-        return v1
 
-    return vresp
+def _uks_vresp_raw(spec, hyb: float, alpha: float, consts: dict, dms):
+    """Pure UKS response: dms (n,2,nao,nao) -> v1ao (n,2,nao,nao).
+    J + fxc - hyb*K (+ RSH correction), hermi=0 (`xtddft/XTDA.py:482-556`)."""
+    eri = consts["eri"]
+    dmtot = dms[:, 0] + dms[:, 1]
+    vj = jnp.einsum("pqrs,xsr->xpq", eri, dmtot)
+    v1 = jnp.stack([vj, vj], axis=1)
+    if "ao" in consts:
+        v1 = v1 + xci.fxc_v1mat(spec, consts["ao"], consts["w"],
+                                consts["rho0"], dms, hermi=False)
+    if hyb != 0.0 or "eri_w" in consts:
+        flat = dms.reshape(-1, *dms.shape[2:])
+        vk = hyb * jnp.einsum("prsq,xrs->xpq", eri, flat).reshape(dms.shape)
+        if "eri_w" in consts:
+            vk = vk + (alpha - hyb) * jnp.einsum(
+                "prsq,xrs->xpq", consts["eri_w"], flat
+            ).reshape(dms.shape)
+        v1 = v1 - vk
+    return v1
+
+
+def make_uks_vresp(ref: Reference):
+    """Closure convenience wrapper over `_uks_vresp_raw` (host-side use)."""
+    consts = _uks_vresp_consts(ref)
+    spec, hyb, alpha = ref.spec, ref.hyb, ref.alpha
+    return lambda dms: _uks_vresp_raw(spec, hyb, alpha, consts, dms)
 
 
 def spin_conserving_sigma(ref: Reference, spin_adapt: bool | None = None) -> SigmaOperator:
@@ -105,35 +117,39 @@ def spin_conserving_sigma(ref: Reference, spin_adapt: bool | None = None) -> Sig
     nc, no, nv = ref.nc, ref.no, ref.nv
     nocca, nvira = ref.nocc_a, ref.nvir_a
     noccb, nvirb = ref.nocc_b, ref.nvir_b
-    oa = jnp.asarray(ref.orbo_a)
-    vaa = jnp.asarray(ref.orbv_a)
-    ob = jnp.asarray(ref.orbo_b)
-    vbb = jnp.asarray(ref.orbv_b)
-    fa = jnp.asarray(ref.fock_a_mo)
-    fb = jnp.asarray(ref.fock_b_mo)
-    vresp = make_uks_vresp(ref)
     na = nocca * nvira
     dim = na + noccb * nvirb
+    spec, hyb, alpha = ref.spec, ref.hyb, ref.alpha
 
+    consts = _uks_vresp_consts(ref)
+    consts.update(
+        oa=jnp.asarray(ref.orbo_a), vaa=jnp.asarray(ref.orbv_a),
+        ob=jnp.asarray(ref.orbo_b), vbb=jnp.asarray(ref.orbv_b),
+        fa=jnp.asarray(ref.fock_a_mo), fb=jnp.asarray(ref.fock_b_mo),
+    )
     dA = spin_adapt and ref.restricted_open and no > 0
     if dA:
         si = 0.5 * no
         fahf = jnp.asarray(ref.fock_a_hf_mo)
         fbhf = jnp.asarray(ref.fock_b_hf_mo)
-        dFV = fbhf[nc + no :, nc + no :] - fahf[nc + no :, nc + no :]
-        dFC = fbhf[:nc, :nc] - fahf[:nc, :nc]
+        consts["dFV"] = (fbhf[nc + no :, nc + no :]
+                         - fahf[nc + no :, nc + no :])
+        consts["dFC"] = fbhf[:nc, :nc] - fahf[:nc, :nc]
         f1 = 0.5 * (1.0 - np.sqrt((si + 1) / si) + 1.0 / (2 * si))
         f2 = 0.5 * (-1.0 + np.sqrt((si + 1) / si) + 1.0 / (2 * si))
         fx = 0.5 / (2.0 * si)
 
-    @jax.jit
-    def matvec(zs):
+    def matvec_raw(consts, zs):
+        oa, vaa = consts["oa"], consts["vaa"]
+        ob, vbb = consts["ob"], consts["vbb"]
+        fa, fb = consts["fa"], consts["fb"]
         zs = jnp.asarray(zs)
         za = zs[:, :na].reshape(-1, nocca, nvira)
         zb = zs[:, na:].reshape(-1, noccb, nvirb)
         dma = jnp.einsum("xov,pv,qo->xpq", za, vaa, oa)
         dmb = jnp.einsum("xov,pv,qo->xpq", zb, vbb, ob)
-        v1ao = vresp(jnp.stack([dma, dmb], axis=1))
+        v1ao = _uks_vresp_raw(spec, hyb, alpha, consts,
+                              jnp.stack([dma, dmb], axis=1))
         v1a = jnp.einsum("xpq,qo,pv->xov", v1ao[:, 0], oa, vaa)
         v1b = jnp.einsum("xpq,qo,pv->xov", v1ao[:, 1], ob, vbb)
         # Fock couplings (ROKS orbitals are not canonical per spin)
@@ -144,6 +160,7 @@ def spin_conserving_sigma(ref: Reference, spin_adapt: bool | None = None) -> Sig
             "xja,ij->xia", zb, fb[:noccb, :noccb]
         )
         if dA:
+            dFV, dFC = consts["dFV"], consts["dFC"]
             zac = za[:, :noccb, :]
             zbv = zb[:, :, -nvira:]
             coup_a = f1 * jnp.einsum("xib,ab->xia", zac, dFV) + f2 * jnp.einsum(
@@ -166,6 +183,11 @@ def spin_conserving_sigma(ref: Reference, spin_adapt: bool | None = None) -> Sig
             [v1a.reshape(zs.shape[0], -1), v1b.reshape(zs.shape[0], -1)], axis=1
         )
 
+    jitted = jax.jit(matvec_raw)
+
+    def matvec(zs):
+        return jitted(consts, zs)
+
     e_ia_a = (
         np.diag(ref.fock_a_mo)[nocca:][None, :] - np.diag(ref.fock_a_mo)[:nocca][:, None]
     ).ravel()
@@ -182,7 +204,9 @@ def spin_conserving_sigma(ref: Reference, spin_adapt: bool | None = None) -> Sig
         cv = beta[:, no:].reshape(noccb * nv, -1)
         return np.concatenate([top, co, cv], axis=0)
 
-    return SigmaOperator(matvec=matvec, hdiag=hdiag, dim=dim, _to_blocked=to_blocked)
+    return SigmaOperator(matvec=matvec, hdiag=hdiag, dim=dim,
+                         _to_blocked=to_blocked, matvec_raw=matvec_raw,
+                         consts=consts)
 
 
 def xtda_sigma_operator(ref: Reference) -> SigmaOperator:
@@ -195,41 +219,51 @@ def utda_sigma_operator(ref: Reference) -> SigmaOperator:
 
 # ------------------------------------------------------------- spin-flip
 
-def make_sf_vresp(ref: Reference, method: int = 0):
-    """SF response: dms (n,nao,nao) (alpha->beta transition densities) ->
-    v1ao; ALDA0 kernel (method 0), multicollinear (method 1), or
-    collinear/HF-only (method 2); no J (`xtddft/SF_TDA.py:246-286`)."""
+def _sf_vresp_consts(ref: Reference, method: int = 0) -> dict:
+    """Device tensors for the SF response (args-pytree form; see
+    `_uks_vresp_consts` for why closure capture is avoided)."""
     env = ref.env
-    spec = ref.spec
-    eri = env.eri
-    hyb, alpha, omega = ref.hyb, ref.alpha, ref.omega
-    eri_w = env.eri_omega(omega) if (omega != 0 and abs(alpha - hyb) > 1e-12) else None
-    has_xc = (
-        method in (0, 1) and spec is not None and bool(spec.components)
-    )
-    if has_xc:
-        ao = env.ao
+    consts = {"eri": env.eri}
+    if ref.omega != 0 and abs(ref.alpha - ref.hyb) > 1e-12:
+        consts["eri_w"] = env.eri_omega(ref.omega)
+    if method in (0, 1) and ref.spec is not None and bool(ref.spec.components):
+        consts["ao"] = env.ao
         if method == 0:
-            fw = xci.sf_kernel_alda0(spec, env.grid_weights, _rho0_jnp(ref))
-            sf_apply = lambda dms: xci.sf_v1mat(ao, fw, dms)
+            consts["fw"] = xci.sf_kernel_alda0(
+                ref.spec, env.grid_weights, _rho0_jnp(ref))
         else:
-            from xtddft_tpu.xc.mcol import sf_kernel_mcol, sf_v1mat_mcol
+            from xtddft_tpu.xc.mcol import sf_kernel_mcol
 
-            fH = sf_kernel_mcol(spec, env.grid_weights, _rho0_jnp(ref))
-            sf_apply = lambda dms: sf_v1mat_mcol(ao, fH, dms)
+            consts["fH"] = sf_kernel_mcol(
+                ref.spec, env.grid_weights, _rho0_jnp(ref))
+    return consts
 
-    def vresp(dms):
-        v1 = jnp.zeros_like(dms)
-        if has_xc:
-            v1 = v1 + sf_apply(dms)
-        if hyb != 0.0 or eri_w is not None:
-            vk = hyb * jnp.einsum("prsq,xrs->xpq", eri, dms)
-            if eri_w is not None:
-                vk = vk + (alpha - hyb) * jnp.einsum("prsq,xrs->xpq", eri_w, dms)
-            v1 = v1 - vk
-        return v1
 
-    return vresp
+def _sf_vresp_raw(hyb: float, alpha: float, consts: dict, dms):
+    """Pure SF response: dms (n,nao,nao) (alpha->beta transition
+    densities) -> v1ao; ALDA0 kernel ('fw'), multicollinear ('fH'), or
+    collinear/HF-only; no J (`xtddft/SF_TDA.py:246-286`)."""
+    v1 = jnp.zeros_like(dms)
+    if "fw" in consts:
+        v1 = v1 + xci.sf_v1mat(consts["ao"], consts["fw"], dms)
+    elif "fH" in consts:
+        from xtddft_tpu.xc.mcol import sf_v1mat_mcol
+
+        v1 = v1 + sf_v1mat_mcol(consts["ao"], consts["fH"], dms)
+    if hyb != 0.0 or "eri_w" in consts:
+        vk = hyb * jnp.einsum("prsq,xrs->xpq", consts["eri"], dms)
+        if "eri_w" in consts:
+            vk = vk + (alpha - hyb) * jnp.einsum(
+                "prsq,xrs->xpq", consts["eri_w"], dms)
+        v1 = v1 - vk
+    return v1
+
+
+def make_sf_vresp(ref: Reference, method: int = 0):
+    """Closure convenience wrapper over `_sf_vresp_raw` (host-side use)."""
+    consts = _sf_vresp_consts(ref, method)
+    hyb, alpha = ref.hyb, ref.alpha
+    return lambda dms: _sf_vresp_raw(hyb, alpha, consts, dms)
 
 
 def sf_sigma_operator(ref: Reference, extype: str = "down", method: int = 0) -> SigmaOperator:
@@ -255,19 +289,26 @@ def sf_sigma_operator(ref: Reference, extype: str = "down", method: int = 0) -> 
         f_vir = jnp.asarray(ref.fock_a_mo[ref.nocc_a :, ref.nocc_a :])
         e_occ = np.diag(ref.fock_b_mo)[: ref.nocc_b]
         e_vir = np.diag(ref.fock_a_mo)[ref.nocc_a :]
-    vresp = make_sf_vresp(ref, method)
     dim = n_o * n_v
+    hyb, alpha = ref.hyb, ref.alpha
+    consts = _sf_vresp_consts(ref, method)
+    consts.update(orbo=orbo, orbv=orbv, f_occ=f_occ, f_vir=f_vir)
 
-    @jax.jit
-    def matvec(zs):
+    def matvec_raw(consts, zs):
+        orbo, orbv = consts["orbo"], consts["orbv"]
         zs = jnp.asarray(zs).reshape(-1, n_o, n_v)
         dms = jnp.einsum("xov,qv,po->xpq", zs, orbv, orbo)
-        v1ao = vresp(dms)
+        v1ao = _sf_vresp_raw(hyb, alpha, consts, dms)
         vs = jnp.einsum("xpq,po,qv->xov", v1ao, orbo, orbv)
-        vs = vs + jnp.einsum("ab,xib->xia", f_vir, zs) - jnp.einsum(
-            "ij,xja->xia", f_occ, zs
+        vs = vs + jnp.einsum("ab,xib->xia", consts["f_vir"], zs) - jnp.einsum(
+            "ij,xja->xia", consts["f_occ"], zs
         )
         return vs.reshape(zs.shape[0], -1)
+
+    jitted = jax.jit(matvec_raw)
+
+    def matvec(zs):
+        return jitted(consts, zs)
 
     hdiag = (e_vir[None, :] - e_occ[:, None]).ravel()
 
@@ -283,4 +324,5 @@ def sf_sigma_operator(ref: Reference, extype: str = "down", method: int = 0) -> 
     return SigmaOperator(
         matvec=matvec, hdiag=hdiag, dim=dim,
         _to_blocked=to_blocked if extype == "down" else None,
+        matvec_raw=matvec_raw, consts=consts,
     )

@@ -19,7 +19,11 @@ import jax.numpy as jnp
 
 from xtddft_tpu.response.moeri import mo_eri
 from xtddft_tpu.response.reference_state import Reference
-from xtddft_tpu.response.sigma import SigmaOperator, make_sf_vresp
+from xtddft_tpu.response.sigma import (
+    SigmaOperator,
+    _sf_vresp_consts,
+    _sf_vresp_raw,
+)
 from xtddft_tpu.response.spaces import sf_oo_projector
 
 
@@ -49,14 +53,20 @@ def xsf_sigma_operator(
     import numpy as _np
     if dtype is None:
         dtype = _np.asarray(ref.env.eri).dtype if hasattr(ref.env.eri, "dtype") else _np.float64
-    orbo = jnp.asarray(ref.orbo_a, dtype=dtype)
-    orbv = jnp.asarray(ref.orbv_b, dtype=dtype)
     fa = jnp.asarray(ref.fock_a_mo, dtype=dtype)
     fb = jnp.asarray(ref.fock_b_mo, dtype=dtype)
-    f_occ = fa[:n_o, :n_o]
-    f_vir = fb[nc:, nc:]
-    vresp = make_sf_vresp(ref, method)
-    vects = jnp.asarray(sf_oo_projector(no), dtype=dtype) if remove else None
+    hyb, alpha = ref.hyb, ref.alpha
+    # all device tensors travel as jit ARGUMENTS (args-pytree pattern;
+    # closure capture bakes the ERI into the HLO as a multi-GB constant)
+    consts = _sf_vresp_consts(ref, method)
+    consts.update(
+        orbo=jnp.asarray(ref.orbo_a, dtype=dtype),
+        orbv=jnp.asarray(ref.orbv_b, dtype=dtype),
+        f_occ=fa[:n_o, :n_o],
+        f_vir=fb[nc:, nc:],
+    )
+    if remove:
+        consts["vects"] = jnp.asarray(sf_oo_projector(no), dtype=dtype)
 
     dA_on = SA > 0 and ref.restricted_open and no > 0
     if dA_on:
@@ -70,16 +80,19 @@ def xsf_sigma_operator(
         dA_T.update(
             delta_a_fock_blocks(ref.fock_a_hf_mo, ref.fock_b_hf_mo, nc, no, dtype)
         )
+        consts["dA_T"] = dA_T
 
-    @jax.jit
-    def matvec(zs):
+    def matvec_raw(consts, zs):
+        orbo, orbv = consts["orbo"], consts["orbv"]
+        f_occ, f_vir = consts["f_occ"], consts["f_vir"]
         zs = jnp.asarray(zs, dtype=dtype)
         nz = zs.shape[0]
         zcv = zs[:, :d1].reshape(nz, nc, nv)
         zco = zs[:, d1:d2].reshape(nz, nc, no)
         zov = zs[:, d2:d3].reshape(nz, no, nv)
         if remove:
-            zoo = jnp.einsum("pq,xq->xp", vects, zs[:, d3:]).reshape(nz, no, no)
+            zoo = jnp.einsum("pq,xq->xp", consts["vects"],
+                             zs[:, d3:]).reshape(nz, no, no)
         else:
             zoo = zs[:, d3:].reshape(nz, no, no)
         # assemble natural (n_o, n_v) layout: rows C|O, cols O|V
@@ -90,7 +103,7 @@ def xsf_sigma_operator(
         z = z.at[:, nc:, :no].set(zoo)
         # SF base response
         dms = jnp.einsum("xov,qv,po->xpq", z, orbv, orbo)
-        v1ao = vresp(dms)
+        v1ao = _sf_vresp_raw(hyb, alpha, consts, dms)
         vs = jnp.einsum("xpq,po,qv->xov", v1ao, orbo, orbv)
         vs = vs + jnp.einsum("ab,xib->xia", f_vir, z) - jnp.einsum(
             "ij,xja->xia", f_occ, z
@@ -99,7 +112,7 @@ def xsf_sigma_operator(
             from xtddft_tpu.response.xsf_terms import apply_delta_a
 
             dcv, dco, dov, doo = apply_delta_a(
-                dA_T, si, SA, foo, zcv, zco, zov, zoo, dtype
+                consts["dA_T"], si, SA, foo, zcv, zco, zov, zoo, dtype
             )
             vs = vs.at[:, :nc, no:].add(fglobal * dcv)
             vs = vs.at[:, :nc, :no].add(fglobal * dco)
@@ -111,8 +124,13 @@ def xsf_sigma_operator(
         oov = vs[:, nc:, no:].reshape(nz, -1)
         ooo = vs[:, nc:, :no].reshape(nz, -1)
         if remove:
-            ooo = jnp.einsum("pq,xp->xq", vects, ooo)
+            ooo = jnp.einsum("pq,xp->xq", consts["vects"], ooo)
         return jnp.concatenate([ocv, oco, oov, ooo], axis=1)
+
+    jitted = jax.jit(matvec_raw)
+
+    def matvec(zs):
+        return jitted(consts, zs)
 
     # hdiag from orbital-energy differences in blocked order
     e_occ = np.diag(ref.fock_a_mo)[:n_o]
@@ -134,4 +152,6 @@ def xsf_sigma_operator(
         V = np.asarray(sf_oo_projector(no))
         return np.concatenate([v[:d3], V @ v[d3:]], axis=0)
 
-    return SigmaOperator(matvec=matvec, hdiag=hdiag, dim=dim, _to_blocked=expand)
+    return SigmaOperator(matvec=matvec, hdiag=hdiag, dim=dim,
+                         _to_blocked=expand, matvec_raw=matvec_raw,
+                         consts=consts)
