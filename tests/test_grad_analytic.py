@@ -103,3 +103,25 @@ def test_dft_rejected():
     mfk = RKS(mol, xc="svwn", grid_level=1).kernel()
     with pytest.raises(NotImplementedError):
         ExcitedGradients(mfk, method="cis")
+
+
+def test_sfcis_up_states_match_driver(oh_rohf):
+    from xtddft_tpu.methods.drivers import SFTDA
+
+    eg = ExcitedGradients(oh_rohf, method="sfcis-up")
+    e, _ = eg.states(3)
+    r = SFTDA(oh_rohf, nstates=3, extype="up", method=2).kernel()
+    assert np.abs(np.asarray(e) - np.asarray(r.e[:3])).max() < 1e-8
+
+
+def test_sfcis_up_gradient_vs_fd(oh_rohf):
+    """Spin-flip-up CIS gradient (the reference's SF-TDA gradient target,
+    `grad_hb/tdroks_sfu.py:184`) vs central differences."""
+    from xtddft_tpu.methods.drivers import SFTDA
+
+    eg = ExcitedGradients(oh_rohf, method="sfcis-up")
+    ga, _ = eg.kernel(state=0)
+    gf = fd_excited_gradient(
+        oh_rohf, lambda m: SFTDA(m, nstates=1, extype="up", method=2),
+        state=0, h=1e-3, atoms=[1])
+    assert np.abs(ga[1] - gf[1]).max() < 2e-5

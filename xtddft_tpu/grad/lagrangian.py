@@ -113,8 +113,11 @@ def _rotate(C, kvec, pairs, nmo):
 class ExcitedGradients:
     """Analytic gradients of CIS-type excited states of an HF reference.
 
-    method: 'cis' (RHF, singlet), 'cis-triplet', 'ucis' (UHF), or
-    'xcis' (spin-adapted X-CIS on ROHF, the HF limit of X-TDA).
+    method: 'cis' (RHF, singlet), 'cis-triplet', 'ucis' (UHF),
+    'xcis' (spin-adapted X-CIS on ROHF, the HF limit of X-TDA), or
+    'sfcis-up' (spin-flip-up CIS on ROHF/UHF, the HF limit of
+    SF-TDA-up — the reference's SF gradient target,
+    `grad_hb/tdroks_sfu.py:184`).
     """
 
     mf: object
@@ -190,6 +193,9 @@ class ExcitedGradients:
         if self.method == "xcis":
             # X-TDA space: alpha (na x nv_a) + beta (nb x nv_b)
             return [(na, nmo - na), (nb, nmo - nb)]
+        if self.method == "sfcis-up":
+            # flip-up: occupied beta -> virtual alpha
+            return [(nb, nmo - na)]
         raise ValueError(self.method)
 
     @property
@@ -215,6 +221,17 @@ class ExcitedGradients:
         Fb_mo = Cb.T @ Fb @ Cb
 
         dims = self._x_dims()
+        if self.method == "sfcis-up":
+            # A_{ia,jb} = d_ij F^a_ab - d_ab F^b_ij - (ab|ji): no Coulomb
+            # term in the spin-flip channel (`xtddft/SF_TDA.py:269-271`)
+            no_, nv_ = dims[0]
+            z = x.reshape(no_, nv_)
+            Cob, Cva = Cb[:, :no_], Ca[:, na:]
+            w = jnp.einsum("ia,ab,ib->", z, Fa_mo[na:, na:], z)
+            w -= jnp.einsum("ia,ij,ja->", z, Fb_mo[:no_, :no_], z)
+            t = Cva @ z.T @ Cob.T  # t_ps = sum_ia Cva[p,a] z_ia Cob[s,i]
+            w -= jnp.einsum("pqrs,ps,qr->", eri, t, t)
+            return w
         if self.method in ("cis", "cis-triplet"):
             no, nv = dims[0]
             z = x.reshape(no, nv)
