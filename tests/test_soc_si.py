@@ -96,7 +96,13 @@ def test_as_atom_socsi_golden():
     e = np.asarray(g["eso_cm"])
     # 4S_3/2 ground state: 4 microstates, SOC leaves them degenerate
     assert np.all(np.abs(e[:4]) < 20.0)
-    # excited doublet manifolds exist and carry SOC splittings of
-    # hundreds of cm^-1 (2D/2P J-splitting scale for Z=33)
-    assert e[4] > 1000.0
     assert np.all(np.diff(e) > -1e-6)  # sorted spectrum
+    # 2D term: J=3/2 quadruplet + J=5/2 sextet with a few-hundred-cm^-1
+    # splitting (experiment: 10592/10915, splitting 322 cm^-1); the
+    # stored run gives 9744/10025 (281 cm^-1) -- regression-pin it
+    d32, d52 = e[4:8], e[8:14]
+    assert np.ptp(d32) < 5.0 and np.ptp(d52) < 5.0  # clean J degeneracies
+    split = d52.mean() - d32.mean()
+    assert 150.0 < split < 500.0
+    assert 8000.0 < d32.mean() < 12000.0
+    assert e[4] == pytest.approx(9743.9, abs=1.0)  # regression anchor
