@@ -96,13 +96,69 @@ def test_xcis_gradient_vs_fd(oh_rohf):
     assert np.abs(ga.sum(axis=0)).max() < 1e-8
 
 
-def test_dft_rejected():
+def test_rsh_rejected():
     from xtddft_tpu.scf import RKS
 
     mol = Molecule.from_atoms("H 0 0 0; H 0 0 0.74", basis="sto-3g")
-    mfk = RKS(mol, xc="svwn", grid_level=1).kernel()
+    mfk = RKS(mol, xc="cam-b3lyp", grid_level=1).kernel()
     with pytest.raises(NotImplementedError):
         ExcitedGradients(mfk, method="cis")
+
+
+def test_dft_ground_gradient_vs_fd():
+    """KS ground-state gradient through the differentiable grid (Becke
+    weight + moving-point Pulay terms included) vs FD."""
+    from xtddft_tpu.scf import RKS
+
+    mol = Molecule.from_atoms("H 0 0 0; H 0 0 0.8", basis="sto-3g")
+    mfk = RKS(mol, xc="svwn", grid_level=1).kernel()
+    ga = scf_gradient(mfk)
+    gf = fd_gradient(mfk, h=1e-3)
+    assert np.abs(ga - gf).max() < 5e-6
+
+
+def test_dft_tda_states_match_driver():
+    """DFT TDA quadratic form == driver eigenvalues (machine precision)."""
+    from xtddft_tpu.methods.drivers import TDA
+    from xtddft_tpu.scf import RKS
+
+    mol = Molecule.from_atoms("H 0 0 0; H 0 0 0.8", basis="sto-3g")
+    mfk = RKS(mol, xc="svwn", grid_level=1).kernel()
+    e, _ = ExcitedGradients(mfk, method="cis").states(1)
+    r = TDA(mfk, nstates=1).kernel()
+    assert np.abs(np.asarray(e) - np.asarray(r.e[:1])).max() < 1e-10
+    e3, _ = ExcitedGradients(mfk, method="cis-triplet").states(1)
+    r3 = TDA(mfk, nstates=1, singlet=False).kernel()
+    assert np.abs(np.asarray(e3) - np.asarray(r3.e[:1])).max() < 1e-10
+
+
+def test_dft_tda_gradient_vs_fd():
+    """Analytic DFT TDA excited-state gradient (fxc by nested jvp,
+    grid Pulay terms by autodiff) vs FD — the capability the reference
+    left WIP (`grad_hb/tdroks_sfu.py`)."""
+    from xtddft_tpu.methods.drivers import TDA
+    from xtddft_tpu.scf import RKS
+
+    mol = Molecule.from_atoms("H 0 0 0; H 0 0 0.8", basis="sto-3g")
+    mfk = RKS(mol, xc="svwn", grid_level=1).kernel()
+    eg = ExcitedGradients(mfk, method="cis")
+    ga, _ = eg.kernel(state=0)
+    gf = fd_excited_gradient(mfk, lambda m: TDA(m, nstates=1), state=0,
+                             h=1e-3, atoms=[1])
+    assert np.abs(ga[1] - gf[1]).max() < 2e-5
+
+
+def test_dft_xtda_states_match_driver():
+    """X-TDA quadratic form on ROKS/B3LYP (vxc Fock + fxc term + the
+    HF-flavored dA) == the XTDA driver."""
+    from xtddft_tpu.methods.drivers import XTDA
+    from xtddft_tpu.scf import ROKS
+
+    mol = Molecule.from_atoms("O 0 0 0; H 0 0 0.98", basis="sto-3g", spin=1)
+    mfk = ROKS(mol, xc="b3lyp", grid_level=1).kernel()
+    e, _ = ExcitedGradients(mfk, method="xcis").states(3)
+    r = XTDA(mfk, nstates=3).kernel()
+    assert np.abs(np.asarray(e) - np.asarray(r.e[:3])).max() < 1e-8
 
 
 def test_sfcis_up_states_match_driver(oh_rohf):

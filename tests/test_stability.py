@@ -43,7 +43,10 @@ def test_uhf_saddle_detected_and_escaped(h2_stretched):
     assert internal_stability(mf_bs)[0]
 
 
-def test_dft_rejected(h2_stretched):
-    mfk = RKS(h2_stretched, xc="svwn", grid_level=1).kernel()
-    with pytest.raises(NotImplementedError):
-        internal_stability(mfk)
+def test_dft_stability_works(h2_stretched):
+    """KS stability via the differentiable XC quadrature: a converged
+    compact RKS solution is internally stable."""
+    mol = Molecule.from_atoms("H 0 0 0; H 0 0 0.74", basis="sto-3g")
+    mfk = RKS(mol, xc="svwn", grid_level=1).kernel()
+    stable, w_min, _ = internal_stability(mfk)
+    assert stable and w_min > 0

@@ -26,8 +26,13 @@ X^T A(C) X of each method (CIS / UCIS / X-CIS with the spin-adapted dA of
 ``jax.hessian`` of that same expression — the gradient and the
 eigenproblem cannot drift apart.
 
-HF references only (RHF/UHF/ROHF); DFT needs the differentiable grid
-(tracked in GAPS.md).  Validated against the FD harness in
+KS-DFT references are supported through the differentiable XC
+quadrature (`grad/xcgrid.py`): E_xc(R, D) joins the Lagrangian, vxc
+enters the Fock by ``jax.grad`` over the density matrices, and the
+TDA fxc term is the directional second derivative of E_xc along the
+transition density — no hand-coded kernel derivatives anywhere.
+Range-separated hybrids and DFT spin-flip kernels are the remaining
+gaps (guarded; see GAPS.md).  Validated against the FD harness in
 tests/test_grad_analytic.py.
 """
 
@@ -52,13 +57,15 @@ def _nuclear_repulsion(coords, charges):
     return 0.5 * jnp.sum(off * zz / r)
 
 
-def _jk_energy(eri, da, db):
+def _jk_energy(eri, da, db, hyb: float = 1.0):
     dt = da + db
     J = jnp.einsum("pqrs,sr->pq", eri, dt)
     Ka = jnp.einsum("prsq,rs->pq", eri, da)
     Kb = jnp.einsum("prsq,rs->pq", eri, db)
     e2 = 0.5 * jnp.einsum("pq,qp->", dt, J)
-    e2 -= 0.5 * (jnp.einsum("pq,qp->", da, Ka) + jnp.einsum("pq,qp->", db, Kb))
+    e2 -= 0.5 * hyb * (
+        jnp.einsum("pq,qp->", da, Ka) + jnp.einsum("pq,qp->", db, Kb)
+    )
     return e2, J, Ka, Kb
 
 
@@ -125,11 +132,25 @@ class ExcitedGradients:
 
     def __post_init__(self):
         mf = self.mf
-        if mf.xc is not None:
-            raise NotImplementedError(
-                "Lagrangian gradients are HF-only for now (differentiable "
-                "grids for DFT are tracked in GAPS.md); use grad.fd_* for DFT"
-            )
+        self.spec = mf.xc
+        self.hyb = 1.0
+        self._exc = None
+        if self.spec is not None:
+            if abs(self.spec.omega) > 1e-12:
+                raise NotImplementedError(
+                    "range-separated hybrids need an attenuated ERI in "
+                    "ints/jaxints.py (tracked in GAPS.md); use grad.fd_*"
+                )
+            if self.method == "sfcis-up":
+                raise NotImplementedError(
+                    "DFT spin-flip gradients need the differentiable SF "
+                    "kernel; use grad.fd_* (HF 'sfcis-up' is supported)"
+                )
+            self.hyb = self.spec.hyb
+            from xtddft_tpu.grad.xcgrid import make_exc_fn
+
+            self._exc = make_exc_fn(mf.mol, mf.env.layout, self.spec,
+                                    level=mf.env.grid_level)
         self.kind = mf.kind
         mol = mf.mol
         self.coords0 = np.asarray(mol.coords, dtype=np.float64)
@@ -174,8 +195,10 @@ class ExcitedGradients:
         da = Ca[:, : self.na] @ Ca[:, : self.na].T
         db = Cb[:, : self.nb] @ Cb[:, : self.nb].T
         h = ints["T"] + ints["V"]
-        e2, _, _, _ = _jk_energy(ints["eri"], da, db)
+        e2, _, _, _ = _jk_energy(ints["eri"], da, db, self.hyb)
         e1 = jnp.einsum("pq,qp->", h, da + db)
+        if self._exc is not None:
+            e2 = e2 + self._exc(ints["coords"], da, db)
         return e1 + e2
 
     def _e_scf(self, coords, kvec):
@@ -214,11 +237,34 @@ class ExcitedGradients:
         na, nb = self.na, self.nb
         da = Ca[:, :na] @ Ca[:, :na].T
         db = Cb[:, :nb] @ Cb[:, :nb].T
-        _, J, Ka, Kb = _jk_energy(eri, da, db)
-        Fa = h + J - Ka
-        Fb = h + J - Kb
+        hyb = self.hyb
+        _, J, Ka, Kb = _jk_energy(eri, da, db, hyb)
+        Fa = h + J - hyb * Ka
+        Fb = h + J - hyb * Kb
+        if self._exc is not None:
+            vxa = jax.grad(self._exc, argnums=1)(ints["coords"], da, db)
+            vxb = jax.grad(self._exc, argnums=2)(ints["coords"], da, db)
+            Fa = Fa + vxa
+            Fb = Fb + vxb
         Fa_mo = Ca.T @ Fa @ Ca
         Fb_mo = Cb.T @ Fb @ Cb
+
+        def fxc_dir(Ta, Tb):
+            """Directional second derivative of E_xc along the transition
+            density: the quadratic fxc term of the TDA A-matrix.
+            Forward-over-forward (jvp of jvp) so the outer reverse pass
+            of the nuclear gradient stays a single backward sweep."""
+            if self._exc is None:
+                return 0.0
+            coords = ints["coords"]
+
+            def g(lam):
+                return self._exc(coords, da + lam * Ta, db + lam * Tb)
+
+            def dg(lam):
+                return jax.jvp(g, (lam,), (1.0,))[1]
+
+            return jax.jvp(dg, (0.0,), (1.0,))[1]
 
         dims = self._x_dims()
         if self.method == "sfcis-up":
@@ -239,9 +285,16 @@ class ExcitedGradients:
             w = jnp.einsum("ia,ab,ib->", z, Fa_mo[no:, no:], z)
             w -= jnp.einsum("ia,ij,ja->", z, Fa_mo[:no, :no], z)
             t1 = Co @ z @ Cv.T  # AO transition density
+            # per-spin-channel transition density is t1/sqrt(2) in the
+            # spatial singlet/triplet convention (the same spin algebra
+            # that makes the Coulomb term 2(ia|jb) and exchange 1x)
+            t1s = 0.5 * (t1 + t1.T) / jnp.sqrt(2.0)
             if self.method == "cis":
                 w += 2.0 * jnp.einsum("pq,pqrs,rs->", t1, eri, t1)
-            w -= jnp.einsum("pr,pqrs,qs->", t1, eri, t1)
+                w += fxc_dir(t1s, t1s)
+            else:  # triplet: antisymmetric spin channels
+                w += fxc_dir(t1s, -t1s)
+            w -= hyb * jnp.einsum("pr,pqrs,qs->", t1, eri, t1)
             return w
 
         (noa, nva), (nob, nvb) = dims
@@ -257,21 +310,28 @@ class ExcitedGradients:
         t1b = Cob @ zb @ Cvb.T
         dt = t1a + t1b
         w += jnp.einsum("pq,pqrs,rs->", dt, eri, dt)  # Coulomb
-        w -= jnp.einsum("pr,pqrs,qs->", t1a, eri, t1a)  # same-spin exchange
-        w -= jnp.einsum("pr,pqrs,qs->", t1b, eri, t1b)
+        w -= hyb * jnp.einsum("pr,pqrs,qs->", t1a, eri, t1a)  # same-spin K
+        w -= hyb * jnp.einsum("pr,pqrs,qs->", t1b, eri, t1b)
+        w += fxc_dir(0.5 * (t1a + t1a.T), 0.5 * (t1b + t1b.T))
         if self.method == "ucis":
             return w
 
-        # X-CIS spin adaptation: dA from the ROHF alpha/beta Fock difference
-        # with the S-dependent factors of `xtddft/XTDA.py:298-307` (same
-        # math as response/sigma_df.py: xtda_sigma_df's dA block)
+        # X-CIS spin adaptation: dA from the HF-flavored alpha/beta Fock
+        # difference on the SCF density, with the S-dependent factors of
+        # `xtddft/XTDA.py:298-307` (same math as response/sigma_df.py).
+        # For a KS reference the dA Fock pair is a *ROHF* veff on the DFT
+        # density (`xtddft/XTDA.py:608-612`): dF = Fb_hf - Fa_hf = Ka - Kb
+        # with FULL exchange, regardless of the functional's hyb.
         nc, no = nb, na - nb
         nv = self.nmo - na
         si = 0.5 * no
         f1 = 0.5 * (1.0 - jnp.sqrt((si + 1) / si) + 1.0 / (2 * si))
         f2 = 0.5 * (-1.0 + jnp.sqrt((si + 1) / si) + 1.0 / (2 * si))
         fx = 0.5 / (2.0 * si)
-        dF = Fb_mo - Fa_mo  # ROHF: same C for both spins
+        if self._exc is None:
+            dF = Fb_mo - Fa_mo  # ROHF: same C for both spins
+        else:
+            dF = Ca.T @ (Ka - Kb) @ Ca
         dFV = dF[na:, na:]
         dFC = dF[:nc, :nc]
         zac = za[:nc, :]          # CV(alpha) rows

@@ -1,0 +1,158 @@
+"""Differentiable XC quadrature: E_xc as a pure JAX function of nuclear
+coordinates and density matrices.
+
+The host grid machinery (`grids/becke.py`, `grids/eval_ao.py`) computes
+fixed arrays at fixed geometry; here the same Becke fuzzy-cell scheme
+(moving atom-centered points, smooth partition weights, Bragg-Slater
+size adjustment) and the same AO evaluation are re-expressed over traced
+coordinates, so nuclear gradients of any KS energy — including the grid
+Pulay terms (dw/dR, moving points) — come from ``jax.grad``.  This is
+the DFT upgrade of the Lagrangian gradient module (`grad/lagrangian.py`)
+and the autodiff replacement of the reference's hand-coded
+``_contract_xc_kernel`` gradient ladders
+(`/root/reference/grad_hb/tdroks_sfu.py:59-183`).
+
+Differences from the host path, by design:
+- no |w|<1e-14 point pruning (data-dependent shapes don't trace); the
+  extra points carry ~zero weight and cost only flops;
+- densities are masked at the same MASK_RHO floor as `xc/interface.py`
+  so functional derivatives stay finite where rho ~ 0.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xtddft_tpu import units
+from xtddft_tpu.grids import angular, radial
+from xtddft_tpu.grids.becke import _BRAGG
+from xtddft_tpu.ints.shell import BasisLayout, cart2sph, cart_components
+from xtddft_tpu.xc import functionals as fl
+from xtddft_tpu.xc.interface import MASK_RHO
+from xtddft_tpu.xc.registry import XCSpec
+
+__all__ = ["make_exc_fn"]
+
+
+def _becke_smooth(mu, k: int = 3):
+    f = mu
+    for _ in range(k):
+        f = 1.5 * f - 0.5 * f**3
+    return f
+
+
+def make_exc_fn(mol, layout: BasisLayout, spec: XCSpec, level: int = 1):
+    """Return ``exc(coords, Da, Db) -> float`` (hartree), differentiable
+    in all arguments.  Matches `Env`'s host quadrature at the reference
+    geometry to ~1e-12 (same radial/angular/Becke scheme)."""
+    natm = mol.natm
+    z = np.asarray(mol.charges, dtype=int)
+    deg = angular.default_degree(level)
+    sph_pts, sph_wts = angular.sphere_grid(deg)
+    local_pts, w0, atom_idx = [], [], []
+    for ia in range(natm):
+        nrad = radial.default_nrad(int(z[ia]), level)
+        r, wr = radial.treutler_ahlrichs(nrad, int(z[ia]))
+        pts = (r[:, None, None] * sph_pts[None, :, :]).reshape(-1, 3)
+        wts = (wr[:, None] * r[:, None] ** 2 * sph_wts[None, :]).reshape(-1)
+        local_pts.append(pts)
+        w0.append(wts)
+        atom_idx.append(np.full(pts.shape[0], ia))
+    local_pts = jnp.asarray(np.concatenate(local_pts))
+    w0 = jnp.asarray(np.concatenate(w0))
+    atom_idx = jnp.asarray(np.concatenate(atom_idx))
+    rad_bragg = jnp.asarray(
+        np.array([_BRAGG[min(zi, len(_BRAGG) - 1)] for zi in z])
+        * units.ANG2BOHR
+    )
+    comps_fn = [(w, fl.FUNCTIONALS[name]) for w, name in spec.components]
+
+    # static shell data
+    shells = [
+        (sh.l, np.asarray(sh.exps), np.asarray(sh.coefs), sh.atom_index,
+         sh.ao_offset)
+        for sh in layout.shells
+    ]
+    nao = layout.nao
+
+    def _becke_w(pts, coords):
+        if natm == 1:
+            return jnp.ones(pts.shape[0])
+        d = jnp.linalg.norm(pts[:, None, :] - coords[None, :, :] + 1e-300,
+                            axis=2)  # (ng, natm)
+        rij = jnp.linalg.norm(
+            coords[:, None, :] - coords[None, :, :]
+            + jnp.eye(natm)[:, :, None], axis=2)
+        P = jnp.ones((pts.shape[0], natm))
+        for i in range(natm):
+            for j in range(natm):
+                if i == j:
+                    continue
+                mu = (d[:, i] - d[:, j]) / rij[i, j]
+                chi = rad_bragg[i] / rad_bragg[j]
+                u = (chi - 1.0) / (chi + 1.0)
+                a = jnp.clip(u / (u**2 - 1.0), -0.5, 0.5)
+                mu = mu + a * (1.0 - mu**2)
+                P = P.at[:, i].multiply(0.5 * (1.0 - _becke_smooth(mu)))
+        return P[jnp.arange(pts.shape[0]), atom_idx] / P.sum(axis=1)
+
+    def _eval_ao(pts, coords):
+        """(ao (ng, nao), dao (3, ng, nao)) at traced points/centers."""
+        ng = pts.shape[0]
+        ao = jnp.zeros((ng, nao))
+        dao = jnp.zeros((3, ng, nao))
+        for l, exps, coefs, ia, off in shells:
+            r = pts - coords[ia][None, :]
+            r2 = jnp.einsum("gd,gd->g", r, r)
+            expv = jnp.exp(-jnp.asarray(exps)[None, :] * r2[:, None]) \
+                * jnp.asarray(coefs)[None, :]
+            radv = expv.sum(axis=1)
+            dradv = -2.0 * (expv * jnp.asarray(exps)[None, :]).sum(axis=1)
+            comps = cart_components(l)
+            mono = jnp.stack(
+                [r[:, 0] ** i * r[:, 1] ** j * r[:, 2] ** k
+                 for (i, j, k) in comps], axis=1)
+            C = jnp.asarray(cart2sph(l))
+            ao = ao.at[:, off : off + 2 * l + 1].set((mono * radv[:, None]) @ C)
+            for dax in range(3):
+                dm = []
+                for (i, j, k) in comps:
+                    e = (i, j, k)
+                    if e[dax] > 0:
+                        em = list(e)
+                        em[dax] -= 1
+                        dm.append(e[dax] * r[:, 0] ** em[0]
+                                  * r[:, 1] ** em[1] * r[:, 2] ** em[2])
+                    else:
+                        dm.append(jnp.zeros_like(r2))
+                dmono = jnp.stack(dm, axis=1)
+                cart_d = dmono * radv[:, None] + mono * (dradv * r[:, dax])[:, None]
+                dao = dao.at[dax, :, off : off + 2 * l + 1].set(cart_d @ C)
+        return ao, dao
+
+    def exc(coords, Da, Db):
+        coords = jnp.asarray(coords)
+        pts = coords[atom_idx] + local_pts
+        w = w0 * _becke_w(pts, coords)
+        ao, dao = _eval_ao(pts, coords)
+        ra = jnp.einsum("gp,pq,gq->g", ao, Da, ao)
+        rb = jnp.einsum("gp,pq,gq->g", ao, Db, ao)
+        ga = 2.0 * jnp.einsum("dgp,pq,gq->dg", dao, Da, ao)
+        gb = 2.0 * jnp.einsum("dgp,pq,gq->dg", dao, Db, ao)
+        mask = (ra > MASK_RHO) | (rb > MASK_RHO)
+        ra_s = jnp.where(mask, ra, 1.0)
+        rb_s = jnp.where(mask, rb, 1.0)
+        ga = jnp.where(mask[None, :], ga, 0.0)
+        gb = jnp.where(mask[None, :], gb, 0.0)
+        gaa = jnp.einsum("dg,dg->g", ga, ga)
+        gab = jnp.einsum("dg,dg->g", ga, gb)
+        gbb = jnp.einsum("dg,dg->g", gb, gb)
+        e = 0.0
+        for wgt, f in comps_fn:
+            e = e + wgt * jnp.sum(
+                jnp.where(mask, w, 0.0) * f(ra_s, rb_s, gaa, gab, gbb))
+        return e
+
+    return exc

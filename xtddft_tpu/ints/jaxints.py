@@ -344,7 +344,7 @@ def make_integral_fn(layout: BasisLayout, do_eri: bool = True):
             S = _scatter2(S, pc, S_blk)
             T = _scatter2(T, pc, T_blk)
             V = _scatter2(V, pc, V_blk)
-        out = {"S": S, "T": T, "V": V}
+        out = {"S": S, "T": T, "V": V, "coords": coords}
         if do_eri:
             eri = jnp.zeros((nao, nao, nao, nao))
             for pc1 in classes:

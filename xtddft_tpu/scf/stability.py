@@ -11,10 +11,10 @@ machinery as the gradients (`grad/lagrangian.py`): H = d2 E_elec /
 dkappa2 over the nonredundant rotation pairs (occ-vir per spin for UHF;
 closed-open/closed-vir/open-vir for ROHF; occ-vir for RHF), built by
 ``jax.hessian`` (dense, adequate for the molecule sizes the stability
-loop targets) — no hand-derived A+B response matrices.
-
-HF references only (same scope as the Lagrangian gradients; the
-reference's own loop is exercised on HF-quality wavefunctions too).
+loop targets) — no hand-derived A+B response matrices.  KS references
+get the full fxc contribution automatically through the differentiable
+XC quadrature (`grad/xcgrid.py`); RSH functionals are the one guarded
+gap (see GAPS.md).
 """
 
 from __future__ import annotations
@@ -37,11 +37,6 @@ def internal_stability(mf, tol: float = 1e-6):
 
     from xtddft_tpu.grad.lagrangian import ExcitedGradients, _rotate
 
-    if mf.xc is not None:
-        raise NotImplementedError(
-            "stability analysis is HF-only (the orbital Hessian of a KS "
-            "energy needs the fxc term; see GAPS.md)"
-        )
     eg = ExcitedGradients.__new__(ExcitedGradients)
     eg.mf = mf
     eg.method = "cis"  # irrelevant: only the SCF energy machinery is used
