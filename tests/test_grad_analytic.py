@@ -96,13 +96,13 @@ def test_xcis_gradient_vs_fd(oh_rohf):
     assert np.abs(ga.sum(axis=0)).max() < 1e-8
 
 
-def test_rsh_rejected():
-    from xtddft_tpu.scf import RKS
+def test_dft_sf_rejected():
+    from xtddft_tpu.scf import ROKS
 
-    mol = Molecule.from_atoms("H 0 0 0; H 0 0 0.74", basis="sto-3g")
-    mfk = RKS(mol, xc="cam-b3lyp", grid_level=1).kernel()
+    mol = Molecule.from_atoms("O 0 0 0; H 0 0 0.98", basis="sto-3g", spin=1)
+    mfk = ROKS(mol, xc="svwn", grid_level=1).kernel()
     with pytest.raises(NotImplementedError):
-        ExcitedGradients(mfk, method="cis")
+        ExcitedGradients(mfk, method="sfcis-up")
 
 
 def test_dft_ground_gradient_vs_fd():
@@ -181,3 +181,20 @@ def test_sfcis_up_gradient_vs_fd(oh_rohf):
         oh_rohf, lambda m: SFTDA(m, nstates=1, extype="up", method=2),
         state=0, h=1e-3, atoms=[1])
     assert np.abs(ga[1] - gf[1]).max() < 2e-5
+
+
+def test_rsh_cam_b3lyp_states_and_gradient():
+    """Range-separated hybrid in the differentiable stack: the
+    erf-attenuated ERI of jaxints reproduces the driver's CAM-B3LYP TDA
+    to machine precision, and the ground-state gradient matches FD."""
+    from xtddft_tpu.methods.drivers import TDA
+    from xtddft_tpu.scf import RKS
+
+    mol = Molecule.from_atoms("H 0 0 0; H 0 0 0.8", basis="sto-3g")
+    mfk = RKS(mol, xc="cam-b3lyp", grid_level=1).kernel()
+    e, _ = ExcitedGradients(mfk, method="cis").states(1)
+    r = TDA(mfk, nstates=1).kernel()
+    assert np.abs(np.asarray(e) - np.asarray(r.e[:1])).max() < 1e-10
+    ga = scf_gradient(mfk)
+    gf = fd_gradient(mfk, h=1e-3)
+    assert np.abs(ga - gf).max() < 5e-6

@@ -134,19 +134,19 @@ class ExcitedGradients:
         mf = self.mf
         self.spec = mf.xc
         self.hyb = 1.0
+        self.omega = 0.0
+        self.hyb_lr = 0.0  # long-range K coefficient (alpha - hyb)
         self._exc = None
         if self.spec is not None:
-            if abs(self.spec.omega) > 1e-12:
-                raise NotImplementedError(
-                    "range-separated hybrids need an attenuated ERI in "
-                    "ints/jaxints.py (tracked in GAPS.md); use grad.fd_*"
-                )
             if self.method == "sfcis-up":
                 raise NotImplementedError(
                     "DFT spin-flip gradients need the differentiable SF "
                     "kernel; use grad.fd_* (HF 'sfcis-up' is supported)"
                 )
             self.hyb = self.spec.hyb
+            if abs(self.spec.omega) > 1e-12:
+                self.omega = self.spec.omega
+                self.hyb_lr = self.spec.alpha - self.spec.hyb
             from xtddft_tpu.grad.xcgrid import make_exc_fn
 
             self._exc = make_exc_fn(mf.mol, mf.env.layout, self.spec,
@@ -156,7 +156,7 @@ class ExcitedGradients:
         self.coords0 = np.asarray(mol.coords, dtype=np.float64)
         self.charges = jnp.asarray(np.asarray(mol.charges, dtype=np.float64))
         self.na, self.nb = mol.nalpha, mol.nbeta
-        self._ints = make_integral_fn(mf.env.layout)
+        self._ints = make_integral_fn(mf.env.layout, omega_lr=self.omega)
         if self.kind in ("uhf", "uks"):
             self.C0 = [jnp.asarray(mf.mo_coeff[0]), jnp.asarray(mf.mo_coeff[1])]
             self.nmo = self.C0[0].shape[1]
@@ -196,6 +196,11 @@ class ExcitedGradients:
         db = Cb[:, : self.nb] @ Cb[:, : self.nb].T
         h = ints["T"] + ints["V"]
         e2, _, _, _ = _jk_energy(ints["eri"], da, db, self.hyb)
+        if self.hyb_lr != 0.0:
+            _, _, Kla, Klb = _jk_energy(ints["eri_lr"], da, db)
+            e2 -= 0.5 * self.hyb_lr * (
+                jnp.einsum("pq,qp->", da, Kla) + jnp.einsum("pq,qp->", db, Klb)
+            )
         e1 = jnp.einsum("pq,qp->", h, da + db)
         if self._exc is not None:
             e2 = e2 + self._exc(ints["coords"], da, db)
@@ -241,6 +246,19 @@ class ExcitedGradients:
         _, J, Ka, Kb = _jk_energy(eri, da, db, hyb)
         Fa = h + J - hyb * Ka
         Fb = h + J - hyb * Kb
+        if self.hyb_lr != 0.0:
+            _, _, Kla, Klb = _jk_energy(ints["eri_lr"], da, db)
+            Fa = Fa - self.hyb_lr * Kla
+            Fb = Fb - self.hyb_lr * Klb
+
+        def kx(tl, tr):
+            """Exchange contraction with the RSH-combined kernel."""
+            out = hyb * jnp.einsum("pr,pqrs,qs->", tl, eri, tr)
+            if self.hyb_lr != 0.0:
+                out = out + self.hyb_lr * jnp.einsum(
+                    "pr,pqrs,qs->", tl, ints["eri_lr"], tr)
+            return out
+
         if self._exc is not None:
             vxa = jax.grad(self._exc, argnums=1)(ints["coords"], da, db)
             vxb = jax.grad(self._exc, argnums=2)(ints["coords"], da, db)
@@ -294,7 +312,7 @@ class ExcitedGradients:
                 w += fxc_dir(t1s, t1s)
             else:  # triplet: antisymmetric spin channels
                 w += fxc_dir(t1s, -t1s)
-            w -= hyb * jnp.einsum("pr,pqrs,qs->", t1, eri, t1)
+            w -= kx(t1, t1)
             return w
 
         (noa, nva), (nob, nvb) = dims
@@ -310,8 +328,8 @@ class ExcitedGradients:
         t1b = Cob @ zb @ Cvb.T
         dt = t1a + t1b
         w += jnp.einsum("pq,pqrs,rs->", dt, eri, dt)  # Coulomb
-        w -= hyb * jnp.einsum("pr,pqrs,qs->", t1a, eri, t1a)  # same-spin K
-        w -= hyb * jnp.einsum("pr,pqrs,qs->", t1b, eri, t1b)
+        w -= kx(t1a, t1a)  # same-spin exchange (RSH-combined kernel)
+        w -= kx(t1b, t1b)
         w += fxc_dir(0.5 * (t1a + t1a.T), 0.5 * (t1b + t1b.T))
         if self.method == "ucis":
             return w

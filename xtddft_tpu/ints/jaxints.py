@@ -115,11 +115,20 @@ def _e_coeffs(la: int, lb: int, a, b, AB):
     return E
 
 
-def _hermite_coulomb(L: int, alpha, PQ):
+def _hermite_coulomb(L: int, alpha, PQ, omega: float = 0.0):
     """R_{tuv}(alpha, PQ) for all t+u+v <= L; returns dict[(t,u,v)] ->
-    array of PQ[...,0].shape.  Standard downward-in-n recursion."""
+    array of PQ[...,0].shape.  Standard downward-in-n recursion.
+
+    omega > 0 attenuates the kernel to erf(omega r)/r (long-range RSH
+    operator): F_m -> s^{m+1/2} F_m(s T) with s = w^2/(w^2 + alpha)
+    (same closed form as the host engine's attenuated path)."""
     T = alpha * jnp.sum(PQ * PQ, axis=-1)
-    F = boys_jax(L, T)
+    if omega and omega > 0.0:
+        s = omega * omega / (omega * omega + alpha)
+        F = boys_jax(L, s * T)
+        F = jnp.stack([s ** (n + 0.5) * F[n] for n in range(L + 1)])
+    else:
+        F = boys_jax(L, T)
     X, Y, Z = PQ[..., 0], PQ[..., 1], PQ[..., 2]
     # R[(t,u,v)][n]
     R = {(0, 0, 0): [((-2.0 * alpha) ** n) * F[n] for n in range(L + 1)]}
@@ -325,10 +334,14 @@ def _nuclear(pc: _PairClass, coords, charges):
 # -- two-electron integrals ---------------------------------------------------
 
 
-def make_integral_fn(layout: BasisLayout, do_eri: bool = True):
-    """Return ``ints(coords) -> dict(S, T, V[, eri])`` differentiable in
-    coords (natm, 3, bohr).  Spherical AO basis, same conventions as the
-    host engine (validated against it in tests/test_jaxints.py)."""
+def make_integral_fn(layout: BasisLayout, do_eri: bool = True,
+                     omega_lr: float = 0.0):
+    """Return ``ints(coords) -> dict(S, T, V[, eri][, eri_lr])``
+    differentiable in coords (natm, 3, bohr).  Spherical AO basis, same
+    conventions as the host engine (validated against it in
+    tests/test_jaxints.py).  omega_lr > 0 additionally produces the
+    erf(omega r)/r-attenuated ERI ('eri_lr') for range-separated
+    hybrids."""
     classes = _pair_classes(layout)
     nao = layout.nao
     charges = np.asarray(layout.mol.charges, dtype=np.float64)
@@ -346,22 +359,26 @@ def make_integral_fn(layout: BasisLayout, do_eri: bool = True):
             V = _scatter2(V, pc, V_blk)
         out = {"S": S, "T": T, "V": V, "coords": coords}
         if do_eri:
-            eri = jnp.zeros((nao, nao, nao, nao))
-            for pc1 in classes:
-                for pc2 in classes:
-                    blk = _eri_block(pc1, pc2, coords)
-                    ia = pc1.idx_a[:, :, None, None, None, None]
-                    ib = pc1.idx_b[:, None, :, None, None, None]
-                    ic = pc2.idx_a[None, None, None, :, :, None]
-                    id_ = pc2.idx_b[None, None, None, :, None, :]
-                    eri = eri.at[ia, ib, ic, id_].add(blk)
-            out["eri"] = eri
+            omegas = [(0.0, "eri")]
+            if omega_lr and omega_lr > 0.0:
+                omegas.append((omega_lr, "eri_lr"))
+            for om, key in omegas:
+                eri = jnp.zeros((nao, nao, nao, nao))
+                for pc1 in classes:
+                    for pc2 in classes:
+                        blk = _eri_block(pc1, pc2, coords, omega=om)
+                        ia = pc1.idx_a[:, :, None, None, None, None]
+                        ib = pc1.idx_b[:, None, :, None, None, None]
+                        ic = pc2.idx_a[None, None, None, :, :, None]
+                        id_ = pc2.idx_b[None, None, None, :, None, :]
+                        eri = eri.at[ia, ib, ic, id_].add(blk)
+                out[key] = eri
         return out
 
     return ints
 
 
-def _eri_block(pc1: _PairClass, pc2: _PairClass, coords):
+def _eri_block(pc1: _PairClass, pc2: _PairClass, coords, omega: float = 0.0):
     """(n1, nsph_a, nsph_b, n2, nsph_c, nsph_d) ERI block over two ordered
     pair classes (chemist notation (ab|cd))."""
     from xtddft_tpu.ints.mcmurchie import herm_index_map
@@ -376,7 +393,7 @@ def _eri_block(pc1: _PairClass, pc2: _PairClass, coords):
     alpha = p1e * p2e / (p1e + p2e)
     PQ = P1[:, :, None, None, :] - P2[None, None, :, :, :]
     hidx12 = herm_indices(L1 + L2)
-    Rd = _stack_R(_hermite_coulomb(L1 + L2, alpha, PQ), hidx12)
+    Rd = _stack_R(_hermite_coulomb(L1 + L2, alpha, PQ, omega=omega), hidx12)
     # (n1, p1, n2, p2, nherm12)
     pref = 2.0 * jnp.pi ** 2.5 / (p1e * p2e * jnp.sqrt(p1e + p2e))
     Rd = Rd * pref[..., None]
