@@ -96,13 +96,7 @@ def test_xcis_gradient_vs_fd(oh_rohf):
     assert np.abs(ga.sum(axis=0)).max() < 1e-8
 
 
-def test_dft_sf_rejected():
-    from xtddft_tpu.scf import ROKS
 
-    mol = Molecule.from_atoms("O 0 0 0; H 0 0 0.98", basis="sto-3g", spin=1)
-    mfk = ROKS(mol, xc="svwn", grid_level=1).kernel()
-    with pytest.raises(NotImplementedError):
-        ExcitedGradients(mfk, method="sfcis-up")
 
 
 def test_dft_ground_gradient_vs_fd():
@@ -198,3 +192,25 @@ def test_rsh_cam_b3lyp_states_and_gradient():
     ga = scf_gradient(mfk)
     gf = fd_gradient(mfk, h=1e-3)
     assert np.abs(ga - gf).max() < 5e-6
+
+
+def test_dft_sf_up_gradient_vs_fd():
+    """DFT SF-TDA-up (ALDA0) analytic excited-state gradient — the
+    capability the reference's grad_hb left WIP
+    (`grad_hb/tdroks_sfu.py:184`).  The SF xc term enters the quadratic
+    form via the differentiable ALDA0 kernel (`grad/xcgrid.py:
+    make_sf_alda0_fn`)."""
+    from xtddft_tpu.methods.drivers import SFTDA
+    from xtddft_tpu.scf import ROKS
+
+    mol = Molecule.from_atoms("O 0 0 0; H 0 0 0.98", basis="sto-3g", spin=1)
+    mfk = ROKS(mol, xc="bhandhlyp", grid_level=1).kernel()
+    eg = ExcitedGradients(mfk, method="sfcis-up")
+    e, _ = eg.states(2)
+    r = SFTDA(mfk, nstates=2, extype="up", method=0).kernel()
+    assert np.abs(np.asarray(e) - np.asarray(r.e[:2])).max() < 1e-8
+    ga, _ = eg.kernel(state=0)
+    gf = fd_excited_gradient(
+        mfk, lambda m: SFTDA(m, nstates=1, extype="up", method=0),
+        state=0, h=1e-3, atoms=[1])
+    assert np.abs(ga[1] - gf[1]).max() < 2e-5

@@ -137,20 +137,23 @@ class ExcitedGradients:
         self.omega = 0.0
         self.hyb_lr = 0.0  # long-range K coefficient (alpha - hyb)
         self._exc = None
+        self._sf_xc = None
         if self.spec is not None:
-            if self.method == "sfcis-up":
-                raise NotImplementedError(
-                    "DFT spin-flip gradients need the differentiable SF "
-                    "kernel; use grad.fd_* (HF 'sfcis-up' is supported)"
-                )
             self.hyb = self.spec.hyb
             if abs(self.spec.omega) > 1e-12:
                 self.omega = self.spec.omega
                 self.hyb_lr = self.spec.alpha - self.spec.hyb
-            from xtddft_tpu.grad.xcgrid import make_exc_fn
+            from xtddft_tpu.grad.xcgrid import make_exc_fn, make_sf_alda0_fn
 
             self._exc = make_exc_fn(mf.mol, mf.env.layout, self.spec,
                                     level=mf.env.grid_level)
+            if self.method == "sfcis-up":
+                # spin-flip channel: ALDA0 transverse kernel (method=0
+                # of the SF drivers); the collinear/mcol variants remain
+                # FD-only
+                self._sf_xc = make_sf_alda0_fn(mf.mol, mf.env.layout,
+                                               self.spec,
+                                               level=mf.env.grid_level)
         self.kind = mf.kind
         mol = mf.mol
         self.coords0 = np.asarray(mol.coords, dtype=np.float64)
@@ -286,15 +289,21 @@ class ExcitedGradients:
 
         dims = self._x_dims()
         if self.method == "sfcis-up":
-            # A_{ia,jb} = d_ij F^a_ab - d_ab F^b_ij - (ab|ji): no Coulomb
-            # term in the spin-flip channel (`xtddft/SF_TDA.py:269-271`)
+            # A_{ia,jb} = d_ij F^a_ab - d_ab F^b_ij - hyb (ab|ji)
+            # [+ ALDA0 SF kernel for KS]: no Coulomb term in the
+            # spin-flip channel (`xtddft/SF_TDA.py:269-271`)
             no_, nv_ = dims[0]
             z = x.reshape(no_, nv_)
             Cob, Cva = Cb[:, :no_], Ca[:, na:]
             w = jnp.einsum("ia,ab,ib->", z, Fa_mo[na:, na:], z)
             w -= jnp.einsum("ia,ij,ja->", z, Fb_mo[:no_, :no_], z)
             t = Cva @ z.T @ Cob.T  # t_ps = sum_ia Cva[p,a] z_ia Cob[s,i]
-            w -= jnp.einsum("pqrs,ps,qr->", eri, t, t)
+            w -= hyb * jnp.einsum("pqrs,ps,qr->", eri, t, t)
+            if self.hyb_lr != 0.0:
+                w -= self.hyb_lr * jnp.einsum(
+                    "pqrs,ps,qr->", ints["eri_lr"], t, t)
+            if self._sf_xc is not None:
+                w += self._sf_xc(ints["coords"], da, db, t)
             return w
         if self.method in ("cis", "cis-triplet"):
             no, nv = dims[0]

@@ -33,7 +33,7 @@ from xtddft_tpu.xc import functionals as fl
 from xtddft_tpu.xc.interface import MASK_RHO
 from xtddft_tpu.xc.registry import XCSpec
 
-__all__ = ["make_exc_fn"]
+__all__ = ["make_exc_fn", "make_sf_alda0_fn"]
 
 
 def _becke_smooth(mu, k: int = 3):
@@ -43,10 +43,9 @@ def _becke_smooth(mu, k: int = 3):
     return f
 
 
-def make_exc_fn(mol, layout: BasisLayout, spec: XCSpec, level: int = 1):
-    """Return ``exc(coords, Da, Db) -> float`` (hartree), differentiable
-    in all arguments.  Matches `Env`'s host quadrature at the reference
-    geometry to ~1e-12 (same radial/angular/Becke scheme)."""
+def _make_grid_ao(mol, layout: BasisLayout, level: int = 1):
+    """Return ``grid_ao(coords) -> (w, ao, dao)`` over the moving
+    atom-centered quadrature (shared by the E_xc and SF-kernel terms)."""
     natm = mol.natm
     z = np.asarray(mol.charges, dtype=int)
     deg = angular.default_degree(level)
@@ -67,7 +66,6 @@ def make_exc_fn(mol, layout: BasisLayout, spec: XCSpec, level: int = 1):
         np.array([_BRAGG[min(zi, len(_BRAGG) - 1)] for zi in z])
         * units.ANG2BOHR
     )
-    comps_fn = [(w, fl.FUNCTIONALS[name]) for w, name in spec.components]
 
     # static shell data
     shells = [
@@ -132,15 +130,34 @@ def make_exc_fn(mol, layout: BasisLayout, spec: XCSpec, level: int = 1):
                 dao = dao.at[dax, :, off : off + 2 * l + 1].set(cart_d @ C)
         return ao, dao
 
-    def exc(coords, Da, Db):
+    def grid_ao(coords):
         coords = jnp.asarray(coords)
         pts = coords[atom_idx] + local_pts
         w = w0 * _becke_w(pts, coords)
         ao, dao = _eval_ao(pts, coords)
-        ra = jnp.einsum("gp,pq,gq->g", ao, Da, ao)
-        rb = jnp.einsum("gp,pq,gq->g", ao, Db, ao)
-        ga = 2.0 * jnp.einsum("dgp,pq,gq->dg", dao, Da, ao)
-        gb = 2.0 * jnp.einsum("dgp,pq,gq->dg", dao, Db, ao)
+        return w, ao, dao
+
+    return grid_ao
+
+
+def _rho_terms(w, ao, dao, Da, Db):
+    ra = jnp.einsum("gp,pq,gq->g", ao, Da, ao)
+    rb = jnp.einsum("gp,pq,gq->g", ao, Db, ao)
+    ga = 2.0 * jnp.einsum("dgp,pq,gq->dg", dao, Da, ao)
+    gb = 2.0 * jnp.einsum("dgp,pq,gq->dg", dao, Db, ao)
+    return ra, rb, ga, gb
+
+
+def make_exc_fn(mol, layout: BasisLayout, spec: XCSpec, level: int = 1):
+    """Return ``exc(coords, Da, Db) -> float`` (hartree), differentiable
+    in all arguments.  Matches `Env`'s host quadrature at the reference
+    geometry to ~1e-12 (same radial/angular/Becke scheme)."""
+    grid_ao = _make_grid_ao(mol, layout, level)
+    comps_fn = [(w, fl.FUNCTIONALS[name]) for w, name in spec.components]
+
+    def exc(coords, Da, Db):
+        w, ao, dao = grid_ao(coords)
+        ra, rb, ga, gb = _rho_terms(w, ao, dao, Da, Db)
         mask = (ra > MASK_RHO) | (rb > MASK_RHO)
         ra_s = jnp.where(mask, ra, 1.0)
         rb_s = jnp.where(mask, rb, 1.0)
@@ -156,3 +173,23 @@ def make_exc_fn(mol, layout: BasisLayout, spec: XCSpec, level: int = 1):
         return e
 
     return exc
+
+
+def make_sf_alda0_fn(mol, layout: BasisLayout, spec: XCSpec, level: int = 1):
+    """Return ``sf_term(coords, Da, Db, T) -> float``: the ALDA0
+    spin-flip xc contribution  sum_g w f_sf(g) rho_T(g)^2  of the SF-TDA
+    quadratic form (`xtddft/SF_TDA.py:39-88`), differentiable in the
+    coordinates — the DFT piece of the spin-flip excited-state
+    gradient."""
+    from xtddft_tpu.xc import interface as xci
+
+    grid_ao = _make_grid_ao(mol, layout, level)
+
+    def sf_term(coords, Da, Db, T):
+        w, ao, dao = grid_ao(coords)
+        rho0 = _rho_terms(w, ao, dao, Da, Db)
+        fw = xci.sf_kernel_alda0(spec, w, rho0)
+        rt = jnp.einsum("gp,pq,gq->g", ao, T, ao)
+        return jnp.sum(fw * rt * rt)
+
+    return sf_term
