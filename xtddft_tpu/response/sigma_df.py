@@ -113,11 +113,17 @@ def build_df_data(ref: Reference, beta: float | None = None) -> DFData:
     )
 
 
-def cast_df_data(data: DFData, dtype=np.float32, b_dtype=None) -> DFData:
+def cast_df_data(data: DFData, dtype=np.float32, b_dtype=None,
+                 rho_floor: float = 3e-7) -> DFData:
     """Precision-cast a (typically f64 host-built) DFData for the chip hot
     path: B in ``b_dtype`` (bf16 halves the dominant HBM tensor), grid
     and Fock tensors in ``dtype``.  The f64 original stays on host for
-    Rayleigh-Ritz refinement of the chip eigenpairs (bench.py)."""
+    Rayleigh-Ritz refinement of the chip eigenpairs (bench.py).
+
+    Grid points whose density falls below ``rho_floor`` are neutralized
+    (weight 0, density 1): real-molecule grids reach rho ~ 1e-30 where
+    GGA fxc derivatives overflow in f32 (the f64 MASK_RHO=1e-11 floor is
+    not low-precision-safe); their true contribution is negligible."""
     import dataclasses
 
     bd = b_dtype if b_dtype is not None else dtype
@@ -130,9 +136,18 @@ def cast_df_data(data: DFData, dtype=np.float32, b_dtype=None) -> DFData:
     if data.fock_hf_mo is not None:
         kw["fock_hf_mo"] = np.asarray(data.fock_hf_mo, dtype=dtype)
     if data.phi is not None:
+        ra, rb, ga, gb = [np.asarray(r, dtype=np.float64) for r in data.rho0]
+        w = np.asarray(data.grid_w, dtype=np.float64)
+        mask = (ra > rho_floor) | (rb > rho_floor)
+        w = np.where(mask, w, 0.0)
+        ra = np.where(mask, ra, 1.0)
+        rb = np.where(mask, rb, 1.0)
+        ga = np.where(mask[None, :], ga, 0.0)
+        gb = np.where(mask[None, :], gb, 0.0)
         kw["phi"] = jnp.asarray(data.phi, dtype=dtype)
-        kw["grid_w"] = jnp.asarray(data.grid_w, dtype=dtype)
-        kw["rho0"] = tuple(jnp.asarray(r, dtype=dtype) for r in data.rho0)
+        kw["grid_w"] = jnp.asarray(w, dtype=dtype)
+        kw["rho0"] = tuple(jnp.asarray(r, dtype=dtype)
+                           for r in (ra, rb, ga, gb))
     return dataclasses.replace(data, **kw)
 
 

@@ -38,7 +38,11 @@ _B88_BETA = 0.0042
 def _b88_spin(r, g):
     r = _safe_rho(r)
     r43 = r ** (4.0 / 3.0)
-    x = jnp.sqrt(jnp.maximum(g, 0.0) + 1e-300) / r43
+    # the tiny-g guard must stay representable at f32 (the production
+    # chip path): 1e-300 underflows to 0 there and d/dg sqrt(g) at g=0
+    # is NaN even under a zero quadrature weight.  1e-35 is negligible
+    # against any physical |grad rho|^2 yet finite in both precisions.
+    x = jnp.sqrt(jnp.maximum(g, 0.0) + 1e-35) / r43
     denom = 1.0 + 6.0 * _B88_BETA * x * jnp.arcsinh(x)
     return -_CX * r43 - _B88_BETA * r43 * x * x / denom
 
