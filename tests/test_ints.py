@@ -163,3 +163,43 @@ def test_native_engine_omega_and_2c():
     assert np.abs(e3 - native.eri_3c_native(lay, aux, omega=0.33)).max() < 1e-12
     assert np.abs(e2 - native.eri_2c_native(aux, omega=0.33)).max() < 1e-12
     assert np.abs(e2p - native.eri_2c_native(aux)).max() < 1e-12
+
+
+def test_native_screening_exact():
+    """Primitive-pair + Schwarz screening in the native engine changes
+    nothing above the screening thresholds: screened vs unscreened full
+    and 3-center ERIs agree to ~1e-14 on a heavily-contracted (ANO-style)
+    multi-center case — the regime the screening targets
+    (`xtddft_native/md_eri.cpp: build_pair/pair_schwarz`)."""
+    from xtddft_tpu.ints import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library not built")
+    from xtddft_tpu.chem import Molecule
+    from xtddft_tpu.ints import build_layout
+    from xtddft_tpu.ints.autoaux import autoaux_layout
+
+    mol = Molecule.from_atoms("O 0 0 0; H 0 0 0.97", basis="ano-dz", spin=1)
+    lay = build_layout(mol)
+    ref4 = native.eri_full_native(lay, prim_eps=0.0, schwarz_eps=0.0)
+    scr4 = native.eri_full_native(lay)  # default thresholds
+    assert np.abs(ref4 - scr4).max() < 1e-13
+    aux = autoaux_layout(mol, beta=3.0)
+    ref3 = native.eri_3c_native(lay, aux, prim_eps=0.0, schwarz_eps=0.0)
+    scr3 = native.eri_3c_native(lay, aux)
+    assert np.abs(ref3 - scr3).max() < 1e-13
+
+
+def test_dzp_basis_registered():
+    """The generated DZ+P production basis (tools/make_dzp_basis.py) is
+    registered and produces the documented AO counts (TTM -> 598 AO)."""
+    from xtddft_tpu.chem import Molecule
+    from xtddft_tpu.ints import build_layout
+
+    mol = Molecule.from_atoms("C 0 0 0; H 0 0 1.09", basis="dzp")
+    lay = build_layout(mol)
+    assert lay.nao == 19 + 5  # C: 4s3p2d -> 19, H: 2s1p -> 5
+    S = overlap(lay)
+    assert np.allclose(np.diag(S), 1.0, atol=1e-12)

@@ -121,9 +121,14 @@ void cart_list(int l, int comp[15][3]) {
         }
 }
 
+// prim_eps > 0 drops primitive pairs whose Gaussian overlap prefactor
+// |ca*cb|*exp(-mu*|AB|^2) falls below prim_eps * (pair maximum) — the
+// dominant saving for heavily contracted (ANO-style) shells on distant
+// centers, where most cross-primitive products are numerically zero.
 void build_pair(int la, int npa, const double* ea, const double* ca,
                 const double* A, int lb, int npb, const double* eb,
-                const double* cb, const double* B, PairData& out) {
+                const double* cb, const double* B, PairData& out,
+                double prim_eps = 0.0) {
     int L = la + lb;
     out.la = la;
     out.lb = lb;
@@ -131,13 +136,36 @@ void build_pair(int la, int npa, const double* ea, const double* ca,
     out.ncab = ncart(la) * ncart(lb);
     const HermTab& HT = g_herm[L];
     out.nh = HT.n;
-    out.npp = npa * npb;
+    double ABd[3] = {A[0] - B[0], A[1] - B[1], A[2] - B[2]};
+    double AB2 = ABd[0] * ABd[0] + ABd[1] * ABd[1] + ABd[2] * ABd[2];
+    // select surviving primitive pairs
+    std::vector<int> keep_i, keep_j;
+    {
+        double wmax = 0.0;
+        std::vector<double> w((size_t)npa * npb);
+        int pp = 0;
+        for (int ip = 0; ip < npa; ++ip)
+            for (int jp = 0; jp < npb; ++jp, ++pp) {
+                double a = ea[ip], b = eb[jp];
+                double mu = a * b / (a + b);
+                w[pp] = std::fabs(ca[ip] * cb[jp]) * std::exp(-mu * AB2);
+                if (w[pp] > wmax) wmax = w[pp];
+            }
+        double cut = prim_eps * wmax;
+        pp = 0;
+        for (int ip = 0; ip < npa; ++ip)
+            for (int jp = 0; jp < npb; ++jp, ++pp)
+                if (w[pp] > cut || prim_eps <= 0.0) {
+                    keep_i.push_back(ip);
+                    keep_j.push_back(jp);
+                }
+    }
+    out.npp = (int)keep_i.size();
     out.H.assign((size_t)out.ncab * out.nh * out.npp, 0.0);
     out.p.resize(out.npp);
     out.Px.resize(out.npp);
     out.Py.resize(out.npp);
     out.Pz.resize(out.npp);
-    double ABd[3] = {A[0] - B[0], A[1] - B[1], A[2] - B[2]};
     int ia_[15][3], ib_[15][3];
     cart_list(la, ia_);
     cart_list(lb, ib_);
@@ -145,31 +173,69 @@ void build_pair(int la, int npa, const double* ea, const double* ca,
     double Ex[LMAX + 1][LMAX + 1][2 * LMAX + 1];
     double Ey[LMAX + 1][LMAX + 1][2 * LMAX + 1];
     double Ez[LMAX + 1][LMAX + 1][2 * LMAX + 1];
-    int pp = 0;
-    for (int ip = 0; ip < npa; ++ip)
-        for (int jp = 0; jp < npb; ++jp, ++pp) {
-            double a = ea[ip], b = eb[jp], cc = ca[ip] * cb[jp];
-            double p = a + b;
-            out.p[pp] = p;
-            out.Px[pp] = (a * A[0] + b * B[0]) / p;
-            out.Py[pp] = (a * A[1] + b * B[1]) / p;
-            out.Pz[pp] = (a * A[2] + b * B[2]) / p;
-            e_coeffs(la, lb, a, b, ABd[0], Ex);
-            e_coeffs(la, lb, a, b, ABd[1], Ey);
-            e_coeffs(la, lb, a, b, ABd[2], Ez);
-            for (int x = 0; x < nca; ++x)
-                for (int y = 0; y < ncb; ++y) {
-                    int row = x * ncb + y;
-                    int ix = ia_[x][0], iy = ia_[x][1], iz = ia_[x][2];
-                    int jx = ib_[y][0], jy = ib_[y][1], jz = ib_[y][2];
-                    for (int h = 0; h < HT.n; ++h) {
-                        int t = HT.t[h], u = HT.u[h], v = HT.v[h];
-                        if (t > ix + jx || u > iy + jy || v > iz + jz) continue;
-                        out.H[((size_t)row * HT.n + h) * out.npp + pp] =
-                            cc * Ex[ix][jx][t] * Ey[iy][jy][u] * Ez[iz][jz][v];
-                    }
+    for (int pp = 0; pp < out.npp; ++pp) {
+        int ip = keep_i[pp], jp = keep_j[pp];
+        double a = ea[ip], b = eb[jp], cc = ca[ip] * cb[jp];
+        double p = a + b;
+        out.p[pp] = p;
+        out.Px[pp] = (a * A[0] + b * B[0]) / p;
+        out.Py[pp] = (a * A[1] + b * B[1]) / p;
+        out.Pz[pp] = (a * A[2] + b * B[2]) / p;
+        e_coeffs(la, lb, a, b, ABd[0], Ex);
+        e_coeffs(la, lb, a, b, ABd[1], Ey);
+        e_coeffs(la, lb, a, b, ABd[2], Ez);
+        for (int x = 0; x < nca; ++x)
+            for (int y = 0; y < ncb; ++y) {
+                int row = x * ncb + y;
+                int ix = ia_[x][0], iy = ia_[x][1], iz = ia_[x][2];
+                int jx = ib_[y][0], jy = ib_[y][1], jz = ib_[y][2];
+                for (int h = 0; h < HT.n; ++h) {
+                    int t = HT.t[h], u = HT.u[h], v = HT.v[h];
+                    if (t > ix + jx || u > iy + jy || v > iz + jz) continue;
+                    out.H[((size_t)row * HT.n + h) * out.npp + pp] =
+                        cc * Ex[ix][jx][t] * Ey[iy][jy][u] * Ez[iz][jz][v];
                 }
+            }
+    }
+}
+
+void hermite_R(int L, double alpha, double X, double Y, double Z, double* R);
+
+// Upper bound on the Cauchy-Schwarz factor sqrt(max_ab (ab|ab)) for one
+// shell pair: triangle inequality over primitive pairs (the (.|.) Coulomb
+// self-repulsion is an inner product), each primitive-pair diagonal
+// needing only one zero-distance Hermite table — O(npp) instead of the
+// O(npp^2) full quartet.  Overestimates, so screening stays safe.
+double pair_schwarz(const PairData& P) {
+    const HermTab& HB = g_herm[P.L];
+    const HermTab& HT = g_herm[2 * P.L];
+    std::vector<double> R(HT.n);
+    double total = 0.0;
+    for (int pp = 0; pp < P.npp; ++pp) {
+        double p = P.p[pp];
+        double pref = 2.0 * std::pow(M_PI, 2.5) / (p * p * std::sqrt(2.0 * p));
+        hermite_R(2 * P.L, 0.5 * p, 0.0, 0.0, 0.0, R.data());
+        double m = 0.0;
+        for (int ab = 0; ab < P.ncab; ++ab) {
+            double acc = 0.0;
+            for (int hb = 0; hb < HB.n; ++hb) {
+                double w1 = P.H[((size_t)ab * HB.n + hb) * P.npp + pp];
+                if (w1 == 0.0) continue;
+                for (int hk = 0; hk < HB.n; ++hk) {
+                    double w2 = P.H[((size_t)ab * HB.n + hk) * P.npp + pp];
+                    if (w2 == 0.0) continue;
+                    double sgn =
+                        ((HB.t[hk] + HB.u[hk] + HB.v[hk]) % 2) ? -1.0 : 1.0;
+                    acc += w1 * w2 * sgn *
+                           R[HT.idx[HB.t[hb] + HB.t[hk]][HB.u[hb] + HB.u[hk]]
+                                   [HB.v[hb] + HB.v[hk]]];
+                }
+            }
+            m = std::max(m, std::fabs(acc));
         }
+        total += std::sqrt(std::max(0.0, m * pref));
+    }
+    return total;
 }
 
 void hermite_R(int L, double alpha, double X, double Y, double Z, double* R) {
@@ -350,7 +416,7 @@ void md_eri_full(int nsh, const int* ls, const int* nprim, const int* prim_off,
                  const double* exps, const double* coefs,
                  const double* centers, const int* ao_off, int nao,
                  const double* c2s_flat, const long* c2s_off, double* out,
-                 double omega) {
+                 double omega, double prim_eps, double schwarz_eps) {
     init_tables();
     const double* c2s[LMAX + 1];
     for (int l = 0; l <= LMAX; ++l) c2s[l] = c2s_flat + c2s_off[l];
@@ -360,16 +426,20 @@ void md_eri_full(int nsh, const int* ls, const int* nprim, const int* prim_off,
         for (int j = 0; j <= i; ++j) pairs.push_back({i, j});
     int np = (int)pairs.size();
     std::vector<PairData> pd(np);
+    std::vector<double> Q(np, 1.0);
     for (int a = 0; a < np; ++a) {
         auto [i, j] = pairs[a];
         build_pair(ls[i], nprim[i], exps + prim_off[i], coefs + prim_off[i],
                    centers + 3 * i, ls[j], nprim[j], exps + prim_off[j],
-                   coefs + prim_off[j], centers + 3 * j, pd[a]);
+                   coefs + prim_off[j], centers + 3 * j, pd[a], prim_eps);
+        if (schwarz_eps > 0.0) Q[a] = pair_schwarz(pd[a]);
     }
     // flatten (a, c<=a) products for parallelism
     std::vector<std::pair<int, int>> prods;
     for (int a = 0; a < np; ++a)
-        for (int c = 0; c <= a; ++c) prods.push_back({a, c});
+        for (int c = 0; c <= a; ++c)
+            if (schwarz_eps <= 0.0 || Q[a] * Q[c] > schwarz_eps)
+                prods.push_back({a, c});
 #pragma omp parallel
     {
         std::vector<double> blk(15 * 15 * 15 * 15), sblk(9 * 9 * 9 * 9);
@@ -413,12 +483,15 @@ void md_eri_3c(int nsh, const int* ls, const int* nprim, const int* prim_off,
                const int* nprim_x, const int* prim_off_x, const double* exps_x,
                const double* coefs_x, const double* centers_x,
                const int* ao_off_x, int naux, const double* c2s_flat,
-               const long* c2s_off, double* out, double omega) {
+               const long* c2s_off, double* out, double omega,
+               double prim_eps, double schwarz_eps) {
     init_tables();
     const double* c2s[LMAX + 1];
     for (int l = 0; l <= LMAX; ++l) c2s[l] = c2s_flat + c2s_off[l];
     // aux pairs: (aux shell, unity)
     std::vector<PairData> aux(nsh_aux);
+    std::vector<double> Qx(nsh_aux, 1.0);
+    double qx_max = 1.0;
     double unit_e = 0.0, unit_c = 1.0, origin[3];
     for (int x = 0; x < nsh_aux; ++x) {
         origin[0] = centers_x[3 * x];
@@ -427,6 +500,11 @@ void md_eri_3c(int nsh, const int* ls, const int* nprim, const int* prim_off,
         build_pair(ls_x[x], nprim_x[x], exps_x + prim_off_x[x],
                    coefs_x + prim_off_x[x], centers_x + 3 * x, 0, 1, &unit_e,
                    &unit_c, origin, aux[x]);
+        if (schwarz_eps > 0.0) Qx[x] = pair_schwarz(aux[x]);
+    }
+    if (schwarz_eps > 0.0) {
+        qx_max = 0.0;
+        for (int x = 0; x < nsh_aux; ++x) qx_max = std::max(qx_max, Qx[x]);
     }
     std::vector<std::pair<int, int>> pairs;
     for (int i = 0; i < nsh; ++i)
@@ -441,8 +519,14 @@ void md_eri_3c(int nsh, const int* ls, const int* nprim, const int* prim_off,
             build_pair(ls[i], nprim[i], exps + prim_off[i],
                        coefs + prim_off[i], centers + 3 * i, ls[j], nprim[j],
                        exps + prim_off[j], coefs + prim_off[j],
-                       centers + 3 * j, pd[0]);
+                       centers + 3 * j, pd[0], prim_eps);
+            double qij = 1.0;
+            if (schwarz_eps > 0.0) {
+                qij = pair_schwarz(pd[0]);
+                if (qij * qx_max <= schwarz_eps) continue;
+            }
             for (int x = 0; x < nsh_aux; ++x) {
+                if (schwarz_eps > 0.0 && qij * Qx[x] <= schwarz_eps) continue;
                 quartet(aux[x], pd[0], blk.data(), omega);
                 // block shape (ncx*1, nca*ncb) -> sph (sx, sa, sb)
                 sph4(blk.data(), ls_x[x], 0, ls[i], ls[j], c2s, sblk.data());

@@ -37,12 +37,12 @@ def _load():
     lp = ctypes.POINTER(ctypes.c_long)
     lib.md_eri_full.argtypes = [
         ctypes.c_int, ip, ip, ip, dp, dp, dp, ip, ctypes.c_int, dp, lp, dp,
-        ctypes.c_double,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double,
     ]
     lib.md_eri_3c.argtypes = [
         ctypes.c_int, ip, ip, ip, dp, dp, dp, ip, ctypes.c_int,
         ctypes.c_int, ip, ip, ip, dp, dp, dp, ip, ctypes.c_int, dp, lp, dp,
-        ctypes.c_double,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double,
     ]
     lib.md_eri_2c.argtypes = [
         ctypes.c_int, ip, ip, ip, dp, dp, dp, ip, ctypes.c_int, dp, lp, dp,
@@ -83,7 +83,9 @@ def _ptr(a, ct):
     return a.ctypes.data_as(ctypes.POINTER(ct))
 
 
-def eri_full_native(layout: BasisLayout, omega: float = 0.0) -> np.ndarray:
+def eri_full_native(layout: BasisLayout, omega: float = 0.0,
+                    prim_eps: float = 1e-15,
+                    schwarz_eps: float = 1e-14) -> np.ndarray:
     lib = _load()
     ls, nprim, prim_off, exps, coefs, centers, ao_off = _pack(layout)
     c2s_flat, c2s_off = _c2s_pack()
@@ -95,13 +97,14 @@ def eri_full_native(layout: BasisLayout, omega: float = 0.0) -> np.ndarray:
         _ptr(coefs, ctypes.c_double), _ptr(centers, ctypes.c_double),
         _ptr(ao_off, ctypes.c_int), nao, _ptr(c2s_flat, ctypes.c_double),
         _ptr(c2s_off, ctypes.c_long), _ptr(out, ctypes.c_double),
-        float(omega),
+        float(omega), float(prim_eps), float(schwarz_eps),
     )
     return out
 
 
 def eri_3c_native(layout: BasisLayout, aux: BasisLayout,
-                  omega: float = 0.0) -> np.ndarray:
+                  omega: float = 0.0, prim_eps: float = 1e-15,
+                  schwarz_eps: float = 1e-14) -> np.ndarray:
     lib = _load()
     ls, nprim, prim_off, exps, coefs, centers, ao_off = _pack(layout)
     lsx, nprimx, prim_offx, expsx, coefsx, centersx, ao_offx = _pack(aux)
@@ -118,7 +121,8 @@ def eri_3c_native(layout: BasisLayout, aux: BasisLayout,
         _ptr(coefsx, ctypes.c_double), _ptr(centersx, ctypes.c_double),
         _ptr(ao_offx, ctypes.c_int), aux.nao,
         _ptr(c2s_flat, ctypes.c_double), _ptr(c2s_off, ctypes.c_long),
-        _ptr(out, ctypes.c_double), float(omega),
+        _ptr(out, ctypes.c_double), float(omega), float(prim_eps),
+        float(schwarz_eps),
     )
     return out
 
