@@ -182,3 +182,27 @@ def test_spmd_real_molecule_davidson_parity(fh_roks):
     )
     assert bool(np.all(conv1)) and bool(np.all(conv))
     assert np.abs(e - e1).max() < 1e-6
+
+
+def test_jk_aux_mode_quality():
+    """The lean 'jk' production aux recipe (`ints/autoaux.py autoaux_shells
+    mode='jk'`) stays sub-2-meV vs the in-core reference on the production
+    dzp basis, at ~2.5x fewer aux functions than the full recipe."""
+    import numpy as np
+
+    from xtddft_tpu.chem import Molecule
+    from xtddft_tpu.ints.autoaux import autoaux_layout
+    from xtddft_tpu.methods.drivers import XTDA
+    from xtddft_tpu.scf import ROKS
+
+    mol = Molecule.from_atoms("O 0 0 0; H 0 0 0.97", basis="dzp", spin=1)
+    aux_full = autoaux_layout(mol)
+    aux_jk = autoaux_layout(mol, mode="jk")
+    assert aux_jk.nao < 0.6 * aux_full.nao
+
+    mf0 = ROKS(mol, xc="b3lyp", grid_level=1, df=False).kernel()
+    e0 = np.asarray(XTDA(mf0, nstates=5).kernel().e_eV)
+    mf1 = ROKS(mol, xc="b3lyp", grid_level=1, df=True, aux_mode="jk").kernel()
+    e1 = np.asarray(XTDA(mf1, nstates=5).kernel().e_eV)
+    assert abs(mf1.e_tot - mf0.e_tot) < 3e-4
+    assert np.abs(e1 - e0).max() < 2e-3  # eV

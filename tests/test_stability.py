@@ -50,3 +50,21 @@ def test_dft_stability_works(h2_stretched):
     mfk = RKS(mol, xc="svwn", grid_level=1).kernel()
     stable, w_min, _ = internal_stability(mfk)
     assert stable and w_min > 0
+
+
+def test_internal_stability_size_guard():
+    """Above ~140 AO internal_stability refuses (dense nao^4 path) instead
+    of OOMing (ADVICE r1)."""
+    import pytest
+
+    from xtddft_tpu.scf.stability import internal_stability
+
+    class _FakeEnv:
+        nao = 200
+        x2c = False
+
+    class _FakeMF:
+        env = _FakeEnv()
+
+    with pytest.raises(NotImplementedError):
+        internal_stability(_FakeMF())

@@ -132,6 +132,19 @@ class ExcitedGradients:
 
     def __post_init__(self):
         mf = self.mf
+        # The Lagrangian rebuilds hcore as T(R) + V(R): a picture-changed
+        # sfx2c hcore or a static external potential breaks
+        # kappa-stationarity (g != 0) and would silently corrupt every
+        # gradient/Hessian built here (ADVICE r1).
+        if getattr(mf.env, "x2c", False):
+            raise NotImplementedError(
+                "analytic gradients not implemented for sfx2c references "
+                "(picture-changed hcore is outside the differentiable "
+                "integral layer)")
+        if getattr(mf, "v_ext", None) is not None:
+            raise NotImplementedError(
+                "analytic gradients not implemented for SCF run with an "
+                "external potential (v_ext)")
         self.spec = mf.xc
         self.hyb = 1.0
         self.omega = 0.0

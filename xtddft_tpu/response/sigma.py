@@ -36,6 +36,10 @@ def _rho0_jnp(ref: Reference):
 
 @dataclasses.dataclass
 class SigmaOperator:
+    """Note: the fulljit solver cache keys on ``matvec_raw``'s function
+    identity — reuse one SigmaOperator object across solves of the same
+    problem, or each fresh operator recompiles the fused solver."""
+
     matvec: callable  # (n, dim) -> (n, dim)
     hdiag: np.ndarray
     dim: int

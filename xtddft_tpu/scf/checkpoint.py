@@ -35,6 +35,9 @@ def save_mf(mf: MeanField, path: str) -> None:
         grid_level=mf.env.grid_level,
         df=mf.env.df,
         aux_beta=mf.env.aux_beta,
+        aux_mode=getattr(mf.env, "aux_mode", "full"),
+        schema=2,
+        v_ext=(np.zeros(0) if mf.v_ext is None else np.asarray(mf.v_ext)),
         x2c=getattr(mf.env, "x2c", False),
         mo_coeff=np.asarray(mf.mo_coeff),
         mo_energy=np.asarray(mf.mo_energy),
@@ -60,8 +63,13 @@ def load_mf(path: str, df: bool | None = None) -> MeanField:
         basis=str(z["basis"]),
     )
     use_df = bool(z["df"]) if df is None else df
+    aux_mode = str(z["aux_mode"]) if "aux_mode" in z.files else "full"
     env = Env(mol, grid_level=int(z["grid_level"]), df=use_df,
-              aux_beta=float(z["aux_beta"]), x2c=bool(z["x2c"]))
+              aux_beta=float(z["aux_beta"]), aux_mode=aux_mode,
+              x2c=bool(z["x2c"]))
+    v_ext = None
+    if "v_ext" in z.files and z["v_ext"].size:
+        v_ext = np.asarray(z["v_ext"], dtype=np.float64)
     xc_name = str(z["xc"])
     return MeanField(
         mol=mol,
@@ -75,4 +83,5 @@ def load_mf(path: str, df: bool | None = None) -> MeanField:
         converged=bool(z["converged"]),
         fock_a=np.asarray(z["fock_a"]),
         fock_b=np.asarray(z["fock_b"]),
+        v_ext=v_ext,
     )

@@ -1,0 +1,189 @@
+"""Streaming on-chip DF metric dressing: B = V^{-1/2} j3c on the MXU.
+
+At production sizes the dressing matmul is the single largest dense
+contraction of the whole state build — TTM/dzp (598 AO, 3990 jk-aux) is
+1.1e16 flops, ~60 h on this one-core host but ~minutes on the MXU.  The
+reference never faces this step (its ground states come from PySCF's
+AO-direct SCF, `/root/reference/xtddft/XTDA.py:520` takes `mf` from
+pyscf); a TPU-native DF engine makes it the bridge between the one-time
+host integral build and the chip-resident SCF/response hot loops
+(`scf/jk_device.py`, `response/sigma_df.py`).
+
+Precision design: V^{-1/2} = U diag(1/sqrt(w)) U^T has entries up to
+1/sqrt(w_min) ~ 1e5 of both signs, so applying it as ONE compensated
+matmul amplifies in-tile f32 accumulation error by the cancellation
+between those entries (measured: ~10x worse SCF gradient floor on
+OH/6-31G).  Instead the dresser works in the metric eigenbasis:
+
+    W  = U^T @ j3c      (orthogonal — no amplification)
+    Ws = diag(1/sqrt(w)) W   (elementwise, EFT-exact)
+    B  = U @ Ws          (orthogonal — no amplification)
+
+keeping the result at plain compensated-matmul quality (~5e-8 relative,
+tests/test_dsmat.py) regardless of metric conditioning.
+
+Layout: j3c streams host->device in blocks as f32 hi/lo pairs (h2d ships
+exactly the f64 information content, 8 B/element); each dressed block is
+written into the pre-allocated device-resident B pair with donated
+buffers (XLA updates in place — peak HBM is B itself plus one block).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xtddft_tpu.utils.dsmat import (eft_matmul_small, ew_mul, split_f64,
+                                    ts_matmul)
+
+
+def _split_dev(x):
+    return tuple(map(jnp.asarray, split_f64(x)))
+
+
+@functools.partial(jax.jit, static_argnames=("nnull", "tile"))
+def _dress(uh, ul, sh, sl, bh, bl, cs=None, nnull=0, tile=512):
+    """One column block: U diag(s) U^T @ blk, all compensated.
+
+    The first ``nnull`` eigenmodes (eigh sorts w ascending) go through
+    the exact lane: their W rows suffer cancellation — near-null modes
+    are near-orthogonal to the j3c column space, so MXU partial-sum
+    rounding (~2^-24 * |products|) dwarfs the tiny row values, and
+    diag(s) amplifies that error by up to 1/sqrt(w_min).  The EFT rank-1
+    path computes them to ~2^-45 at VPU cost proportional to nnull.
+
+    ``cs`` is the power-of-2 column equilibration the CALLER divided out
+    of blk; it is multiplied back (exactly) right after stage 1, so the
+    final orthogonal matmul runs at the natural scale — un-scaling after
+    it would amplify its rounding by cs instead."""
+    wh, wl = ts_matmul(uh.T, ul.T, bh, bl, tile=tile)
+    if nnull:
+        wnh, wnl = eft_matmul_small(uh[:, :nnull].T, ul[:, :nnull].T,
+                                    bh, bl)
+        wh = wh.at[:nnull].set(wnh)
+        wl = wl.at[:nnull].set(wnl)
+    if cs is not None:
+        wh = wh * cs[None, :]
+        wl = wl * cs[None, :]
+    wh, wl = ew_mul(wh, wl, sh[:, None], sl[:, None])
+    return ts_matmul(uh, ul, wh, wl, tile=tile)
+
+
+def _nnull(w: np.ndarray, amp: float = 4.0) -> int:
+    """Number of leading (smallest-w) metric modes routed to the exact
+    lane: those whose 1/sqrt(w) amplification exceeds ``amp``.
+
+    The MXU lane leaves ~2e-7-scale rounding per W row (equilibrated
+    columns); the bar keeps its amplified contribution under ~1e-6 in B,
+    measured in tests/test_device_scf.py's host-vs-device gates."""
+    return int((1.0 / np.sqrt(w) > amp).sum())
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1),
+                   static_argnames=("nnull", "tile"))
+def _dress_block(Bhi, Blo, uh, ul, sh, sl, bh, bl, cs, off, nnull=0,
+                 tile=512):
+    ph, pl = _dress(uh, ul, sh, sl, bh, bl, cs=cs, nnull=nnull, tile=tile)
+    Bhi = jax.lax.dynamic_update_slice_in_dim(Bhi, ph, off, 1)
+    Blo = jax.lax.dynamic_update_slice_in_dim(Blo, pl, off, 1)
+    return Bhi, Blo
+
+
+def _pow2_colscale(blk: np.ndarray) -> np.ndarray:
+    """Per-column power-of-2 scale ~ the column max: dividing by it is
+    EXACT in binary fp, and it drops the f32 accumulation floor of the
+    dressing matmuls (2^-24 * max|product| per rounding) to the same
+    RELATIVE level for every output column — steep-primitive j3c columns
+    reach ~6 in magnitude while valence ones sit at ~1e-2."""
+    m = np.abs(blk).max(axis=0)
+    m = np.where(m > 0, m, 1.0)
+    return np.exp2(np.ceil(np.log2(m)))
+
+
+def build_b_device(metric_eig, j3c: np.ndarray,
+                   col_chunk: int = 1 << 16, tile: int = 512):
+    """(naux, nao, nao) device-resident B as an f32 (hi, lo) pair.
+
+    metric_eig: (w, U) host-f64 truncated eigendecomposition of the fit
+                metric (`Env.df_metric_eig_host`).
+    j3c:        host-f64 (naux, nao, nao) raw 3-center integrals.
+    """
+    w, U = metric_eig
+    naux, nao = j3c.shape[0], j3c.shape[1]
+    ncol = nao * nao
+    j2 = j3c.reshape(naux, ncol)
+    uh, ul = _split_dev(U)
+    sh, sl = _split_dev(1.0 / np.sqrt(w))
+    Bhi = jnp.zeros((naux, ncol), jnp.float32)
+    Blo = jnp.zeros((naux, ncol), jnp.float32)
+    for off in range(0, ncol, col_chunk):
+        blk = j2[:, off:off + col_chunk]
+        cs = _pow2_colscale(blk)
+        bh, bl = _split_dev(blk / cs[None, :])  # exact division
+        Bhi, Blo = _dress_block(Bhi, Blo, uh, ul, sh, sl, bh, bl,
+                                jnp.asarray(cs, dtype=jnp.float32),
+                                jnp.int32(off), nnull=_nnull(w),
+                                tile=tile)
+    return Bhi.reshape(naux, nao, nao), Blo.reshape(naux, nao, nao)
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def _transform_block(bh, bl, Co_hi, Co_lo, Cv_hi, Cv_lo, tile=512):
+    """One aux block of the MO half-transforms: j3c[Q,mn] -> (Q, no*nv).
+
+    Dressing commutes with the MO transform, so the response path never
+    materializes the AO-basis B at all: transform each raw j3c block to
+    (occ, virt) first (output is naux*no*nv — tiny next to naux*nao^2),
+    dress afterwards."""
+    q, nao, _ = bh.shape
+    no = Co_hi.shape[1]
+    # (Q*nao, nao) @ (nao, no) -> (Q, nao, no)
+    th, tl = ts_matmul(bh.reshape(-1, nao), bl.reshape(-1, nao),
+                       Co_hi, Co_lo, tile=tile)
+    th = th.reshape(q, nao, no).transpose(0, 2, 1).reshape(-1, nao)
+    tl = tl.reshape(q, nao, no).transpose(0, 2, 1).reshape(-1, nao)
+    # (Q*no, nao) @ (nao, nv) -> (Q, no, nv)
+    uh, ul = ts_matmul(th, tl, Cv_hi, Cv_lo, tile=tile)
+    nv = Cv_hi.shape[1]
+    return uh.reshape(q, no * nv), ul.reshape(q, no * nv)
+
+
+def build_bov_device(metric_eig, j3c: np.ndarray,
+                     C_occ: np.ndarray, C_virt: np.ndarray,
+                     aux_chunk: int = 256, tile: int = 512):
+    """MO-transformed dressed tensor B_ov = V^{-1/2} (j3c | C_occ, C_virt)
+    as a device (hi, lo) pair of shape (naux, no, nv).
+
+    The raw j3c streams through the chip once in aux chunks; only the
+    (naux, no*nv) transformed tensor stays resident, so response-scale
+    problems never hold the AO-basis B."""
+    w, U = metric_eig
+    naux, nao = j3c.shape[0], j3c.shape[1]
+    no, nv = C_occ.shape[1], C_virt.shape[1]
+    co = _split_dev(C_occ)
+    cv = _split_dev(C_virt)
+    Thi = jnp.zeros((naux, no * nv), jnp.float32)
+    Tlo = jnp.zeros((naux, no * nv), jnp.float32)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def _acc(Th, Tl, bh, bl, off):
+        uh, ul = _transform_block(bh, bl, co[0], co[1], cv[0], cv[1],
+                                  tile=tile)
+        Th = jax.lax.dynamic_update_slice_in_dim(Th, uh, off, 0)
+        Tl = jax.lax.dynamic_update_slice_in_dim(Tl, ul, off, 0)
+        return Th, Tl
+
+    # two compiled shapes at most: full chunks + one remainder
+    off = 0
+    while off < naux:
+        q = min(aux_chunk, naux - off)
+        bh, bl = _split_dev(j3c[off:off + q])
+        Thi, Tlo = _acc(Thi, Tlo, bh, bl, jnp.int32(off))
+        off += q
+    uh, ul = _split_dev(U)
+    sh, sl = _split_dev(1.0 / np.sqrt(w))
+    Bh, Bl = _dress(uh, ul, sh, sl, Thi, Tlo, nnull=_nnull(w), tile=tile)
+    return Bh.reshape(naux, no, nv), Bl.reshape(naux, no, nv)

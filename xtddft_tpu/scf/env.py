@@ -42,6 +42,7 @@ class Env:
     grid_level: int = 3
     df: bool = False
     aux_beta: float = 2.2
+    aux_mode: str = "full"  # "jk" = lean production J/K-fit recipe
     x2c: bool = False
 
     def __post_init__(self):
@@ -132,26 +133,92 @@ class Env:
     def aux_layout(self):
         from xtddft_tpu.ints.autoaux import autoaux_layout
 
-        return autoaux_layout(self.mol, beta=self.aux_beta)
+        return autoaux_layout(self.mol, beta=self.aux_beta, mode=self.aux_mode)
 
-    def df_B(self, omega: float = 0.0) -> jnp.ndarray:
-        """Metric-dressed (naux, nao, nao) fitted tensor so that
-        (mu nu|g|lam sig) ~= sum_P B[P,mn] B[P,ls] for g = 1/r12 (omega=0)
-        or erf(omega r12)/r12 (the RSH long-range kernel, fitted in its own
-        erf metric — the standard V-metric fit applied to the attenuated
-        kernel)."""
+    def df_j3c_host(self, omega: float = 0.0) -> np.ndarray:
+        """Raw host-f64 (naux, nao, nao) 3-center integrals (not dressed).
+
+        At production sizes this is the big one-time host cost (TTM/dzp:
+        ~15 min, 11 GB); the dressing matmul itself belongs on the chip
+        (`scf/df_build.py`).  An externally built array can be injected
+        via :meth:`set_df_j3c` (disk-cached state builds)."""
         omega = float(omega or 0.0)
-        if omega not in self._df_B_cache:
-            from xtddft_tpu.ints.two_electron import eri_2c, eri_3c
+        if not hasattr(self, "_df_j3c_cache"):
+            self._df_j3c_cache: dict[float, np.ndarray] = {}
+        if omega not in self._df_j3c_cache:
+            from xtddft_tpu.ints.two_electron import eri_3c
 
-            j3c = eri_3c(self.layout, self.aux_layout, omega=omega or None)
+            self._df_j3c_cache[omega] = eri_3c(
+                self.layout, self.aux_layout, omega=omega or None)
+        return self._df_j3c_cache[omega]
+
+    def set_df_j3c(self, j3c: np.ndarray, omega: float = 0.0) -> None:
+        if not hasattr(self, "_df_j3c_cache"):
+            self._df_j3c_cache = {}
+        self._df_j3c_cache[float(omega or 0.0)] = j3c
+
+    def df_metric_eig_host(self, omega: float = 0.0):
+        """(w, U) host-f64 eigendecomposition of the fit metric, truncated
+        at w > 1e-10.  The on-chip dresser (`scf/df_build.py`) consumes
+        the factors separately: two orthogonal matmuls around an exact
+        elementwise 1/sqrt(w) keep mixed-precision error free of the
+        metric's conditioning (a single isqrt matmul amplifies rounding
+        by the cancellation between its +/-1e5-scale entries)."""
+        omega = float(omega or 0.0)
+        if not hasattr(self, "_df_meig_cache"):
+            self._df_meig_cache: dict[float, tuple] = {}
+        if omega not in self._df_meig_cache:
+            from xtddft_tpu.ints.two_electron import eri_2c
+
             j2c = eri_2c(self.aux_layout, omega=omega or None)
             w, U = np.linalg.eigh(j2c)
             keep = w > 1e-10
-            isqrt = (U[:, keep] / np.sqrt(w[keep])[None, :]) @ U[:, keep].T
+            self._df_meig_cache[omega] = (w[keep], U[:, keep])
+        return self._df_meig_cache[omega]
+
+    def df_isqrt_host(self, omega: float = 0.0) -> np.ndarray:
+        """Host-f64 (naux, naux) inverse square root of the fit metric."""
+        omega = float(omega or 0.0)
+        if not hasattr(self, "_df_isqrt_cache"):
+            self._df_isqrt_cache: dict[float, np.ndarray] = {}
+        if omega not in self._df_isqrt_cache:
+            w, U = self.df_metric_eig_host(omega)
+            self._df_isqrt_cache[omega] = (
+                U / np.sqrt(w)[None, :]) @ U.T
+        return self._df_isqrt_cache[omega]
+
+    def release_df_host_cache(self) -> None:
+        """Drop the raw j3c / dressed-B host caches (production builds hold
+        11+ GB here once the device tensors exist)."""
+        for name in ("_df_j3c_cache", "_df_B_host_cache"):
+            if hasattr(self, name):
+                getattr(self, name).clear()
+
+    def df_B_host(self, omega: float = 0.0) -> np.ndarray:
+        """Host-f64 metric-dressed (naux, nao, nao) fitted tensor so that
+        (mu nu|g|lam sig) ~= sum_P B[P,mn] B[P,ls] for g = 1/r12 (omega=0)
+        or erf(omega r12)/r12 (the RSH long-range kernel, fitted in its own
+        erf metric — the standard V-metric fit applied to the attenuated
+        kernel).  Kept as numpy: the production path splits this into an
+        f32 hi/lo pair for the chip (`scf/jk_device.py`) and must never
+        ship the f64 tensor to a device where f64 is emulated."""
+        omega = float(omega or 0.0)
+        if not hasattr(self, "_df_B_host_cache"):
+            self._df_B_host_cache: dict[float, np.ndarray] = {}
+        if omega not in self._df_B_host_cache:
+            j3c = self.df_j3c_host(omega)
+            isqrt = self.df_isqrt_host(omega)
             nx, nao = j3c.shape[0], j3c.shape[1]
             B = (isqrt @ j3c.reshape(nx, -1)).reshape(nx, nao, nao)
-            self._df_B_cache[omega] = jnp.asarray(B)
+            self._df_B_host_cache[omega] = B
+        return self._df_B_host_cache[omega]
+
+    def df_B(self, omega: float = 0.0) -> jnp.ndarray:
+        """Device-resident view of :meth:`df_B_host` (default-device dtype
+        semantics; f64 under the x64 test config)."""
+        omega = float(omega or 0.0)
+        if omega not in self._df_B_cache:
+            self._df_B_cache[omega] = jnp.asarray(self.df_B_host(omega))
         return self._df_B_cache[omega]
 
     # -- J/K builds (in-core or DF, selected by self.df) --------------------

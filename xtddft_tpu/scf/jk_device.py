@@ -1,0 +1,388 @@
+"""Chip-resident mixed-precision DF veff engine for the SCF hot loop.
+
+The reference rebuilds J/K AO-direct through libcint on every SCF cycle
+(`pyscf mf.get_jk` under `/root/reference/xtddft/XTDA.py:520-543` — its
+ground states come straight from PySCF).  On this host (one CPU core)
+that costs hours at production sizes, and the TPU has no f64 datapath —
+so the TPU-native design is:
+
+- the fitted B tensor (ints built once by the native C++ engine, metric
+  dressed on host) lives on the chip as an f32 hi/lo pair
+  (`utils/dsmat.split_f64`),
+- every veff build (J, occupied-transform K, GGA quadrature) runs on the
+  MXU, at one of three precision modes:
+
+    'bf16'    single-pass bf16 products       (~2e-3)  early DIIS descent
+    'f32'     6-pass 'highest' f32 products   (~4e-6)  main convergence
+    'refined' compensated double-single paths (~1e-7)  final cycles
+
+- only O(nao^2) Fock matrices ever cross the (slow) device->host link;
+  the O(naux nao^2) tensors never leave the chip,
+- the XC functional's pointwise derivatives for the refined mode are
+  evaluated on the host in f64 (exact same autodiff code as the in-core
+  path, `xc/interface.py`), with the grid matmuls staying on the MXU.
+
+Accuracy of the refined mode is gated in tests/test_device_scf.py against
+the all-host f64 SCF.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xtddft_tpu.utils.dsmat import _two_sum, join_f64, split_f64, ts_matmul
+from xtddft_tpu.xc import interface as xci
+
+# f32-safe density floor: GGA derivative ladders overflow f32 below this
+# (same constant as response/sigma_df.cast_df_data)
+RHO_FLOOR = 3e-7
+
+
+def _prec(mode: str) -> str:
+    return {"bf16": "default", "f32": "highest"}[mode]
+
+
+# ------------------------------------------------------------------ fast path
+@functools.partial(jax.jit, static_argnames=("prec", "hyb", "hyb_lr"))
+def _jk_fast(Bhi, Ca, Cb, prec, hyb, hyb_lr=0.0, Blr=None):
+    """J - hyb*K veff pieces from occupied coefficients, single precision.
+
+    Returns (vj_a-like, i.e. J - hyb K_a, J - hyb K_b, ej, eka, ekb)."""
+    with jax.default_matmul_precision(prec):
+        Da = Ca @ Ca.T
+        Db = Cb @ Cb.T
+        D = Da + Db
+        t = jnp.einsum("Pmn,mn->P", Bhi, D)
+        J = jnp.einsum("Pmn,P->mn", Bhi, t)
+        out = []
+        eks = []
+        for C, Dx in ((Ca, Da), (Cb, Db)):
+            K = 0.0
+            if hyb != 0.0:
+                T = jnp.einsum("Pmn,ni->Pmi", Bhi, C)
+                K = hyb * jnp.einsum("Pmi,Pni->mn", T, T)
+            if hyb_lr != 0.0 and Blr is not None:
+                T = jnp.einsum("Pmn,ni->Pmi", Blr, C)
+                K = K + hyb_lr * jnp.einsum("Pmi,Pni->mn", T, T)
+            out.append(J - K)
+            eks.append(0.5 * jnp.einsum("mn,nm->", Dx, K)
+                       if hyb != 0.0 or hyb_lr != 0.0 else 0.0)
+        ej = 0.5 * jnp.einsum("mn,nm->", D, J)
+        return out[0], out[1], ej, eks[0], eks[1]
+
+
+@functools.partial(jax.jit, static_argnames=("prec", "spec_key"))
+def _xc_fast(phi, w, Ca, Cb, prec, spec_key):
+    """On-chip f32 GGA quadrature: (exc, Va, Vb).  spec_key is the hashable
+    XCSpec (static: selects the functional expression at trace time)."""
+    spec = spec_key
+    with jax.default_matmul_precision(prec):
+        rho = []
+        for C in (Ca, Cb):
+            m = jnp.einsum("xgn,ni->xgi", phi, C)
+            r = jnp.einsum("gi,gi->g", m[0], m[0])
+            g = 2.0 * jnp.einsum("xgi,gi->xg", m[1:4], m[0])
+            rho.append((r, g))
+        (ra, ga), (rb, gb) = rho
+        mask = (ra > RHO_FLOOR) | (rb > RHO_FLOOR)
+        w_m = jnp.where(mask, w, 0.0)
+        ra = jnp.where(mask, ra, 1.0)
+        rb = jnp.where(mask, rb, 1.0)
+        ga = jnp.where(mask[None, :], ga, 0.0)
+        gb = jnp.where(mask[None, :], gb, 0.0)
+        wva, wvb, wga, wgb = xci.eval_vxc(spec, w_m, (ra, rb, ga, gb))
+        exc = xci.eval_exc(spec, w_m, (ra, rb, ga, gb))
+        Va = xci._contract_vmat(phi, wva, wga)
+        Vb = xci._contract_vmat(phi, wvb, wgb)
+        return exc, Va, Vb
+
+
+# --------------------------------------------------------------- refined path
+@functools.partial(jax.jit, static_argnames=("aux_chunk", "tile"))
+def _jk_refined(Bhi, Blo, Cahi, Calo, Cbhi, Cblo, aux_chunk=256, tile=512):
+    """Compensated J and occupied-K: returns hi/lo pairs
+    (Jhi, Jlo, Kahi, Kalo, Kbhi, Kblo).
+
+    The aux axis is walked in chunks so the (naux, nao, nocc) half
+    transform never materializes (HBM at production sizes holds B hi/lo
+    already); within each chunk both matmuls use dsmat-style compensated
+    accumulation, and the chunk partials accumulate with TwoSum."""
+    naux, nao, _ = Bhi.shape
+
+    def dm(Chi, Clo):
+        with jax.default_matmul_precision("highest"):
+            d = Chi @ Chi.T
+        with jax.default_matmul_precision("default"):
+            corr = Chi @ Clo.T + Clo @ Chi.T
+        return d, corr
+
+    Dahi, Dalo = dm(Cahi, Calo)
+    Dbhi, Dblo = dm(Cbhi, Cblo)
+    Dhi = Dahi + Dbhi
+    Dlo = Dalo + Dblo
+
+    nc = naux // aux_chunk
+    rem = naux - nc * aux_chunk
+    two_sum = _two_sum  # backend-dispatched (EFT on TPU, native f64 on CPU)
+
+    def chunk_contrib(Bc_hi, Bc_lo, Chi, Clo):
+        """K partial from one aux chunk: compensated T then T T^T."""
+        m = Bc_hi.shape[0] * nao
+        Thi, Tlo = ts_matmul(Bc_hi.reshape(m, nao), Bc_lo.reshape(m, nao),
+                             Chi, Clo, tile=tile)
+        nocc = Chi.shape[1]
+        ch = Bc_hi.shape[0]
+        # (ch, nao, nocc) -> (nao, ch*nocc)
+        T2hi = Thi.reshape(ch, nao, nocc).transpose(1, 0, 2).reshape(nao, -1)
+        T2lo = Tlo.reshape(ch, nao, nocc).transpose(1, 0, 2).reshape(nao, -1)
+        return ts_matmul(T2hi, T2lo, T2hi.T, T2lo.T, tile=tile)
+
+    def j_contrib(Bc_hi, Bc_lo):
+        """J partials from one aux chunk (compensated both contractions).
+
+        Both J contractions concentrate same-sign terms (electrostatics),
+        where in-tile f32 accumulation error grows like tile/sqrt(k) —
+        the tiles here are deliberately small."""
+        ch = Bc_hi.shape[0]
+        b2h = Bc_hi.reshape(ch, nao * nao)
+        b2l = Bc_lo.reshape(ch, nao * nao)
+        thi, tlo = ts_matmul(b2h, b2l, Dhi.reshape(-1, 1), Dlo.reshape(-1, 1),
+                             tile=512)
+        jhi, jlo = ts_matmul(b2h.T, b2l.T, thi, tlo, tile=64)
+        return jhi.reshape(nao, nao), jlo.reshape(nao, nao)
+
+    def body(i, carry):
+        (jh, jl, kah, kal, kbh, kbl) = carry
+        off = i * aux_chunk
+        Bc_hi = jax.lax.dynamic_slice_in_dim(Bhi, off, aux_chunk, 0)
+        Bc_lo = jax.lax.dynamic_slice_in_dim(Blo, off, aux_chunk, 0)
+        pjh, pjl = j_contrib(Bc_hi, Bc_lo)
+        jh, e = two_sum(jh, pjh)
+        jl = jl + e + pjl
+        pkh, pkl = chunk_contrib(Bc_hi, Bc_lo, Cahi, Calo)
+        kah, e = two_sum(kah, pkh)
+        kal = kal + e + pkl
+        pkh, pkl = chunk_contrib(Bc_hi, Bc_lo, Cbhi, Cblo)
+        kbh, e = two_sum(kbh, pkh)
+        kbl = kbl + e + pkl
+        return (jh, jl, kah, kal, kbh, kbl)
+
+    z = jnp.zeros((nao, nao), jnp.float32)
+    carry = (z, z, z, z, z, z)
+    if nc > 0:
+        carry = jax.lax.fori_loop(0, nc, body, carry)
+    if rem:
+        (jh, jl, kah, kal, kbh, kbl) = carry
+        Bc_hi = jax.lax.slice_in_dim(Bhi, nc * aux_chunk, naux, axis=0)
+        Bc_lo = jax.lax.slice_in_dim(Blo, nc * aux_chunk, naux, axis=0)
+        pjh, pjl = j_contrib(Bc_hi, Bc_lo)
+        jh, e = two_sum(jh, pjh)
+        jl = jl + e + pjl
+        pkh, pkl = chunk_contrib(Bc_hi, Bc_lo, Cahi, Calo)
+        kah, e = two_sum(kah, pkh)
+        kal = kal + e + pkl
+        pkh, pkl = chunk_contrib(Bc_hi, Bc_lo, Cbhi, Cblo)
+        kbh, e = two_sum(kbh, pkh)
+        kbl = kbl + e + pkl
+        carry = (jh, jl, kah, kal, kbh, kbl)
+    return carry
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def _rho_refined(phi, Chi, Clo, tile=128):
+    """Grid density from compensated MO values: (rho, grho) f32, accurate
+    to ~1e-7 relative (phi itself is f32-exact input data)."""
+    ng = phi.shape[1]
+    outs = []
+    for x in range(4):
+        mh, ml = ts_matmul(phi[x], None, Chi, Clo, tile=tile)
+        outs.append((mh, ml))
+    (m0h, m0l) = outs[0]
+    m0 = m0h + m0l
+    with jax.default_matmul_precision("highest"):
+        rho = jnp.einsum("gi,gi->g", m0, m0h) + jnp.einsum("gi,gi->g", m0, m0l)
+        grho = jnp.stack([
+            2.0 * jnp.einsum("gi,gi->g", outs[k][0] + outs[k][1], m0)
+            for k in (1, 2, 3)
+        ])
+    return rho, grho
+
+
+from xtddft_tpu.utils.dsmat import ew_add as _ewadd
+from xtddft_tpu.utils.dsmat import ew_mul as _ewmul
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def _vxc_refined(phi, wvh, wvl, wgh, wgl, tile=256):
+    """Compensated quadrature contraction V = phi^T diag(wv) phi + sym GGA
+    term, accumulated over the grid axis.  Weights arrive as f32 hi/lo
+    pairs (host-f64 functional derivatives); the weight*phi products are
+    EFT-exact, leaving only the tiled compensated accumulation.
+    Returns (Vhi, Vlo)."""
+    W0h, W0l = _ewmul(wvh[:, None], wvl[:, None], phi[0])
+    Wgh = jnp.zeros_like(phi[0])
+    Wgl = jnp.zeros_like(phi[0])
+    for x in range(3):
+        ph, pl = _ewmul(wgh[x][:, None], wgl[x][:, None], phi[1 + x])
+        Wgh, e = _ewadd(Wgh, ph)
+        Wgl = Wgl + e + pl
+    # A + B + B^T where A = phi0^T W0, B = phi0^T Wg
+    ah, al = ts_matmul(phi[0].T, None, W0h, W0l, tile=tile)
+    bh, bl = ts_matmul(phi[0].T, None, Wgh, Wgl, tile=tile)
+    return ah + bh + bh.T, al + bl + bl.T
+
+
+class DeviceVeff:
+    """Builds (veff_a, veff_b, e2) on the chip from occupied MO coefficients.
+
+    One instance per converged-geometry Env; the B tensor ships to the
+    device once (h2d ~1 GB/s), Fock-sized results come back per cycle
+    (the d2h link is ~5 MB/s — nothing larger than nao^2 ever crosses it).
+    """
+
+    def __init__(self, env, spec, aux_chunk: int = 256, verbose: int = 0):
+        from xtddft_tpu.scf.df_build import build_b_device
+
+        self.env = env
+        self.spec = spec
+        self.aux_chunk = aux_chunk
+        # metric dressing happens ON the chip (the 1e16-flop matmul the
+        # host cannot afford at production sizes): raw j3c streams over,
+        # B lives only as the device hi/lo pair
+        self.Bhi, self.Blo = build_b_device(env.df_metric_eig_host(0.0),
+                                            env.df_j3c_host(0.0))
+        self.hyb = spec.hyb if spec is not None else 1.0
+        self.alpha = spec.alpha if spec is not None else 1.0
+        self.omega = spec.omega if spec is not None else 0.0
+        self.hyb_lr = 0.0
+        self.Blr = None
+        if self.omega != 0.0 and abs(self.alpha - self.hyb) > 1e-12:
+            self.hyb_lr = self.alpha - self.hyb
+            # the long-range K rides the f32 tensor only; its weight is a
+            # fraction of the full K and the refined pass keeps hi/lo for
+            # the dominant term (HBM budget: see module docstring)
+            self.Blr = build_b_device(env.df_metric_eig_host(self.omega),
+                                      env.df_j3c_host(self.omega))[0]
+        # NOTE: the raw host j3c stays cached on env (the response build
+        # reuses it); production scripts call env.release_df_host_cache()
+        # once every consumer has its device tensors.
+        self.phi = None
+        if spec is not None and spec.components:
+            from xtddft_tpu.grids import eval_ao
+
+            grid = env.grid
+            ao = eval_ao(env.layout, grid.coords, deriv=1)
+            self.phi = jnp.asarray(np.asarray(ao, dtype=np.float32))
+            self.w32 = jnp.asarray(np.asarray(grid.weights, dtype=np.float32))
+            self.w64 = np.asarray(grid.weights, dtype=np.float64)
+
+    # -- public -----------------------------------------------------------
+    def veff(self, Ca: np.ndarray, Cb: np.ndarray, mode: str = "f32"):
+        """(veff_a, veff_b, e2) as host f64 arrays / float.
+
+        Ca/Cb: occupied (incl. open) MO coefficient blocks, host f64.
+        mode: 'bf16' | 'f32' | 'refined'.
+        """
+        if mode in ("bf16", "f32"):
+            return self._veff_fast(Ca, Cb, _prec(mode))
+        return self._veff_refined(Ca, Cb)
+
+    # -- implementation ---------------------------------------------------
+    def _veff_fast(self, Ca, Cb, prec):
+        Ca32 = jnp.asarray(np.asarray(Ca, dtype=np.float32))
+        Cb32 = jnp.asarray(np.asarray(Cb, dtype=np.float32))
+        va, vb, ej, eka, ekb = _jk_fast(
+            self.Bhi, Ca32, Cb32, prec, self.hyb, self.hyb_lr, self.Blr)
+        exc = 0.0
+        if self.phi is not None:
+            exc, Va, Vb = _xc_fast(self.phi, self.w32, Ca32, Cb32, prec,
+                                   self.spec)
+            va = va + Va
+            vb = vb + Vb
+            exc = float(exc)
+        e2 = float(ej) - float(eka) - float(ekb) + exc
+        return (np.asarray(va, dtype=np.float64),
+                np.asarray(vb, dtype=np.float64), e2)
+
+    def _veff_refined(self, Ca, Cb):
+        cah, cal = split_f64(Ca)
+        cbh, cbl = split_f64(Cb)
+        cah, cal, cbh, cbl = map(jnp.asarray, (cah, cal, cbh, cbl))
+        jh, jl, kah, kal, kbh, kbl = _jk_refined(
+            self.Bhi, self.Blo, cah, cal, cbh, cbl,
+            aux_chunk=self.aux_chunk)
+        J = join_f64(jh, jl)
+        Ka = join_f64(kah, kal)
+        Kb = join_f64(kbh, kbl)
+        Da = Ca @ Ca.T
+        Db = Cb @ Cb.T
+        hyb = self.hyb
+        va = J - hyb * Ka
+        vb = J - hyb * Kb
+        ek = 0.5 * hyb * (np.einsum("mn,nm->", Da, Ka)
+                          + np.einsum("mn,nm->", Db, Kb))
+        if self.hyb_lr != 0.0 and self.Blr is not None:
+            # long-range K at plain f32 quality (its coefficient is a
+            # fraction of the total K; see __init__)
+            _, _, _, ekal, ekbl = _jk_fast(
+                self.Blr, jnp.asarray(cah), jnp.asarray(cbh), "highest", 1.0)
+            Tka = _k_only(self.Blr, cah)
+            Tkb = _k_only(self.Blr, cbh)
+            va = va - self.hyb_lr * np.asarray(Tka, dtype=np.float64)
+            vb = vb - self.hyb_lr * np.asarray(Tkb, dtype=np.float64)
+            ek = ek + 0.5 * self.hyb_lr * (
+                np.einsum("mn,nm->", Da, np.asarray(Tka, np.float64))
+                + np.einsum("mn,nm->", Db, np.asarray(Tkb, np.float64)))
+        ej = 0.5 * np.einsum("mn,nm->", Da + Db, J)
+        exc = 0.0
+        if self.phi is not None:
+            exc, Va, Vb = self._xc_refined(cah, cal, cbh, cbl)
+            va = va + Va
+            vb = vb + Vb
+        return va, vb, float(ej - ek + exc)
+
+    def _xc_refined(self, cah, cal, cbh, cbl):
+        ra, ga = _rho_refined(self.phi, cah, cal)
+        rb, gb = _rho_refined(self.phi, cbh, cbl)
+        # pointwise functional on host f64 (exact autodiff code shared
+        # with the in-core path)
+        cpu = jax.devices("cpu")[0]
+        ra_h = np.asarray(ra, dtype=np.float64)
+        rb_h = np.asarray(rb, dtype=np.float64)
+        ga_h = np.asarray(ga, dtype=np.float64)
+        gb_h = np.asarray(gb, dtype=np.float64)
+        # the functional runs on host f64, so the f32-overflow floor is
+        # unnecessary here: use the standard f64 mask (the fast path's
+        # 3e-7 floor would drop low-density tail contributions at the
+        # ~3e-5 level in the potential matrices)
+        mask = (ra_h > xci.MASK_RHO) | (rb_h > xci.MASK_RHO)
+        w = np.where(mask, self.w64, 0.0)
+        rho = (np.where(mask, ra_h, 1.0), np.where(mask, rb_h, 1.0),
+               np.where(mask[None, :], ga_h, 0.0),
+               np.where(mask[None, :], gb_h, 0.0))
+        with jax.default_device(cpu):
+            wva, wvb, wga, wgb = [np.asarray(x, dtype=np.float64)
+                                  for x in xci.eval_vxc(
+                                      self.spec, jnp.asarray(w),
+                                      tuple(jnp.asarray(r) for r in rho))]
+            exc = float(xci.eval_exc(self.spec, jnp.asarray(w),
+                                     tuple(jnp.asarray(r) for r in rho)))
+        def _v(wv, wg):
+            wvh, wvl = split_f64(wv)
+            wgh, wgl = split_f64(wg)
+            return join_f64(*_vxc_refined(
+                self.phi, jnp.asarray(wvh), jnp.asarray(wvl),
+                jnp.asarray(wgh), jnp.asarray(wgl)))
+
+        return exc, _v(wva, wga), _v(wvb, wgb)
+
+
+@jax.jit
+def _k_only(B, C):
+    with jax.default_matmul_precision("highest"):
+        T = jnp.einsum("Pmn,ni->Pmi", B, C)
+        return jnp.einsum("Pmi,Pni->mn", T, T)

@@ -37,6 +37,16 @@ def internal_stability(mf, tol: float = 1e-6):
 
     from xtddft_tpu.grad.lagrangian import ExcitedGradients, _rotate
 
+    if mf.env.nao > 140:
+        # the dense kappa-space jax.hessian below materializes the full
+        # nao^4 f64 ERI plus an O(nk^2) Hessian — at DF/production sizes
+        # (TTM 182 AO = 8.8 GB ERI) this OOMs rather than answers
+        # (ADVICE r1).  Matrix-free stability at scale goes through the
+        # response drivers (XTDA on the converged mf), not this path.
+        raise NotImplementedError(
+            f"internal_stability uses dense in-core ERIs; nao={mf.env.nao} "
+            "> 140 would materialize an O(nao^4) tensor. Use the response "
+            "stability analysis (sigma-operator Davidson) instead.")
     eg = ExcitedGradients.__new__(ExcitedGradients)
     eg.mf = mf
     eg.method = "cis"  # irrelevant: only the SCF energy machinery is used

@@ -226,8 +226,11 @@ def _get_fulljit_solver(matvec_raw, dim, nb, max_space, tol, max_cycle,
             matvec_raw, dim, nb, max_space, tol, max_cycle, pick_positive,
             pos_threshold,
         )
-        if len(_SOLVER_CACHE) > 32:
-            _SOLVER_CACHE.clear()
+        while len(_SOLVER_CACHE) > 32:
+            # evict oldest (insertion-ordered dict), never the whole cache:
+            # clearing would also drop entries about to be reused and
+            # reintroduce recompiles in long sessions (ADVICE r1)
+            _SOLVER_CACHE.pop(next(iter(_SOLVER_CACHE)))
         _SOLVER_CACHE[key] = solver
     return solver
 
