@@ -21,6 +21,31 @@ import numpy as np
 _DATA = pathlib.Path(__file__).parent / "tests" / "data"
 
 
+def matvec_flops(nc, no, nv, naux, ngrid, nb, hyb_terms=1):
+    """Analytic flop count of one blocked DF X-TDA sigma build (nb vectors).
+
+    Counted per einsum in `response/sigma_df.py:_matvec` (2 flops per
+    multiply-add).  The dominant term is the exchange half-transform
+    T[x,P,j,a] = B[P,ab] z[x,jb]: 2*naux*nocc*nvir^2*nb per spin block.
+    hyb_terms: 1, +1 more if an RSH long-range B adds a second K pass.
+    """
+    na_o, na_v = nc + no, nv          # alpha occ/vir
+    nb_o, nb_v = nc, no + nv          # beta occ/vir
+    jk = 0.0
+    for o, v in ((na_o, na_v), (nb_o, nb_v)):
+        t = 2.0 * naux * o * v * nb            # t_P = B_ov . z
+        T = 2.0 * naux * o * v * v * nb        # T = B_vv . z
+        K = 2.0 * naux * o * o * v * nb        # K = B_oo . T
+        back = 2.0 * naux * o * v * nb         # v1 += B_ov . t
+        jk += t + back + hyb_terms * (T + K)
+    fxc = 0.0
+    for o, v in ((na_o, na_v), (nb_o, nb_v)):
+        # rho1 forward (4 gradient components) + backward, each
+        # ~2*ngrid*o*v*nb per component
+        fxc += 2.0 * 8.0 * ngrid * o * v * nb
+    return jk + fxc
+
+
 def ttm_real(nroots: int = 10):
     """Real-molecule production proof: TTM radical (182 AO, doublet
     ROKS/B3LYP) through the DF X-TDA sigma ON THE CHIP (f32/f32), with
@@ -118,6 +143,13 @@ def main():
 
     assert np.all(np.isfinite(e))
 
+    # measured utilization (BASELINE.json asks for sigma-builds/sec/chip):
+    # one blocked sigma build per Davidson cycle; flops counted
+    # analytically from the einsum shapes (matvec_flops docstring)
+    builds_per_s = info["cycles"] / wall
+    tflops = matvec_flops(nc, no, nmo - nc - no, naux, ngrid,
+                          nroots) * info["cycles"] / wall / 1e12
+
     ttm = None
     try:
         ttm = ttm_real()
@@ -141,8 +173,9 @@ def main():
                 "value": round(wall, 3),
                 "unit": f"s (nmo={nmo}, naux={naux}, ngrid={ngrid}, "
                         f"synthetic op, nconv={int(conv.sum())}/{nroots}, "
-                        f"cycles={info['cycles']}, bf16-B/f32, 1 chip; "
-                        f"{ttm_txt})",
+                        f"cycles={info['cycles']}, bf16-B/f32, 1 chip, "
+                        f"{builds_per_s:.1f} sigma-builds/s = "
+                        f"{tflops:.0f} TFLOP/s; {ttm_txt})",
                 "vs_baseline": round(60.0 / wall, 2),
             }
         )

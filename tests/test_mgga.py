@@ -1,0 +1,147 @@
+"""Meta-GGA (TPSS/TPSSh): functional limits, autodiff vxc/fxc, TDA run.
+
+The reference's MGGA coverage is libxc-backed and its XTDA MGGA branch is
+broken upstream (`xtddft/XTDA.py:242`); here TPSS is an autodiff energy
+density (`xc/functionals.py:tpss_x/tpss_c`, constants from PRL 91,
+146401 and JCP 120, 6898).  No external MGGA reference numbers are
+obtainable offline, so correctness is gated through the functional's
+exact constraints (uniform-gas limit, Lieb-Oxford bound, one-electron
+self-interaction freedom) plus autodiff-vs-FD identities and an
+end-to-end TDA run.
+"""
+
+import numpy as np
+import pytest
+
+from xtddft_tpu.chem import Molecule
+from xtddft_tpu.scf import RKS, ROKS
+
+
+def test_tpss_uniform_gas_limit():
+    """g=0, tau=tau_unif (alpha=1, z=0, p=0) => F_x = 1: TPSS exchange
+    equals Slater exchange on the uniform gas."""
+    from xtddft_tpu.xc.functionals import slater_x, tpss_x
+
+    r = np.linspace(0.05, 5.0, 40)
+    ra = rb = 0.5 * r
+    tau_u = 0.3 * (3 * np.pi**2 * r) ** (2 / 3) * r
+    z = np.zeros_like(r)
+    ex = np.asarray(tpss_x(ra, rb, z, z, z, 0.5 * tau_u, 0.5 * tau_u))
+    ex0 = np.asarray(slater_x(ra, rb, z, z, z))
+    assert np.abs(ex - ex0).max() < 1e-10 * np.abs(ex0).max()
+
+
+def test_tpss_lieb_oxford_bound():
+    """F_x <= 1 + kappa = 1.804 everywhere."""
+    from xtddft_tpu.xc.functionals import _tpss_fx
+
+    rng = np.random.default_rng(0)
+    rho = 10.0 ** rng.uniform(-6, 2, 2000)
+    gamma = 10.0 ** rng.uniform(-12, 4, 2000)
+    tau_w = gamma / (8 * rho)
+    tau = tau_w * 10.0 ** rng.uniform(0, 4, 2000)
+    fx = np.asarray(_tpss_fx(rho, gamma, tau))
+    assert fx.max() <= 1.8041
+    assert fx.min() >= 0.99  # never below the LDA value by construction
+
+
+def test_tpss_c_one_electron_free():
+    """One-electron density (zeta=1, z=1): TPSS correlation vanishes —
+    the self-interaction-freedom constraint the functional is built on."""
+    from xtddft_tpu.xc.functionals import tpss_c
+
+    # hydrogenic 1s: rho = exp(-2r)/pi, gamma = 4 rho^2, tau = tau_W
+    r = np.linspace(0.1, 4.0, 30)
+    rho = np.exp(-2 * r) / np.pi
+    gamma = 4.0 * rho**2
+    tau_w = gamma / (8 * rho)
+    ec = np.asarray(tpss_c(rho, np.full_like(rho, 1e-15), gamma,
+                           np.zeros_like(rho), np.zeros_like(rho),
+                           tau_w, np.zeros_like(rho)))
+    # scale: |LDA correlation| ~ 0.02-0.04 * rho at these densities
+    assert np.abs(ec).max() < 2e-4 * np.abs(rho).max()
+
+
+def test_tpss_vxc_matches_fd():
+    """eval_vxc (autodiff) vs central differences of eval_exc in all six
+    channels including tau."""
+    import jax.numpy as jnp
+
+    from xtddft_tpu.xc.interface import eval_exc, eval_vxc
+    from xtddft_tpu.xc.registry import resolve
+
+    spec = resolve("tpss")
+    rng = np.random.default_rng(1)
+    ng = 24
+    ra = 10.0 ** rng.uniform(-3, 0.5, ng)
+    rb = ra * rng.uniform(0.4, 1.0, ng)
+    ga = 0.3 * rng.normal(size=(3, ng)) * ra
+    gb = 0.3 * rng.normal(size=(3, ng)) * rb
+    tw_a = np.einsum("xg,xg->g", ga, ga) / (8 * ra)
+    tw_b = np.einsum("xg,xg->g", gb, gb) / (8 * rb)
+    ta = tw_a * rng.uniform(1.5, 4.0, ng)  # stay off the tau>=tau_W clamp
+    tb = tw_b * rng.uniform(1.5, 4.0, ng)
+    w = rng.uniform(0.5, 1.0, ng)
+    rho = tuple(map(jnp.asarray, (ra, rb, ga, gb, ta, tb)))
+    dv = eval_vxc(spec, jnp.asarray(w), rho)
+    assert len(dv) == 6
+
+    h = 1e-6
+
+    def fd(idx, i, comp=None):
+        rp = [np.array(x) for x in (ra, rb, ga, gb, ta, tb)]
+        rm = [np.array(x) for x in (ra, rb, ga, gb, ta, tb)]
+        if comp is None:
+            rp[idx][i] += h
+            rm[idx][i] -= h
+        else:
+            rp[idx][comp, i] += h
+            rm[idx][comp, i] -= h
+        ep = float(eval_exc(spec, jnp.asarray(w), tuple(map(jnp.asarray, rp))))
+        em = float(eval_exc(spec, jnp.asarray(w), tuple(map(jnp.asarray, rm))))
+        return (ep - em) / (2 * h)
+
+    for i in (3, 11, 19):
+        assert abs(float(dv[0][i]) - fd(0, i)) < 2e-5
+        assert abs(float(dv[1][i]) - fd(1, i)) < 2e-5
+        assert abs(float(dv[2][1, i]) - fd(2, i, comp=1)) < 2e-5
+        assert abs(float(dv[4][i]) - fd(4, i)) < 2e-5
+        assert abs(float(dv[5][i]) - fd(5, i)) < 2e-5
+
+
+@pytest.fixture(scope="module")
+def h2o_tpss():
+    mol = Molecule.from_atoms(
+        "O 0 0 0.1173; H 0 0.7572 -0.4692; H 0 -0.7572 -0.4692",
+        basis="sto-3g",
+    )
+    return RKS(mol, xc="tpss", grid_level=1).kernel()
+
+
+def test_tpss_scf_converges(h2o_tpss):
+    assert h2o_tpss.converged
+    # sanity window: between the HF-ish and LDA-ish extremes for H2O/sto-3g
+    assert -76.5 < h2o_tpss.e_tot < -74.0
+
+
+def test_tpss_tda_runs(h2o_tpss):
+    """The VERDICT r1 'done' line: a TDA run with TPSS executes — fixing,
+    not replicating, the reference's broken MGGA branch."""
+    from xtddft_tpu.methods.drivers import TDA
+
+    res = TDA(h2o_tpss, nstates=4).kernel()
+    e = np.asarray(res.e_eV)
+    assert np.all(np.isfinite(e)) and np.all(e > 0) and np.all(np.diff(e) >= 0)
+    assert np.all(np.asarray(res.osc) >= -1e-12)
+
+
+def test_tpssh_xtda_open_shell():
+    """Hybrid MGGA on the open-shell spin-adapted path (dense backend)."""
+    from xtddft_tpu.methods.drivers import XTDA
+
+    mol = Molecule.from_atoms("O 0 0 0; H 0 0 0.97", basis="sto-3g", spin=1)
+    mf = ROKS(mol, xc="tpssh", grid_level=1).kernel()
+    assert mf.converged
+    res = XTDA(mf, nstates=4, backend="dense").kernel()
+    e = np.asarray(res.e_eV)
+    assert np.all(np.isfinite(e)) and np.all(e > 0)

@@ -107,3 +107,37 @@ def test_driver_davidson_paths(fh_roks):
     sv = SFTDA(fh_roks, nstates=3, extype="up", use_davidson=True).kernel()
     assert sv.converged
     assert np.abs(sd.e - sv.e).max() < 1e-6
+
+
+def test_xsf_frozen_core(fh_roks):
+    """Frozen-core XSF-TDA (`xtddft/XSF_TDA.py:1483 frozen_A`): dropping
+    the innermost core from the CV/CO blocks matches an independent
+    row/col deletion of the dense matrix, and valence states shift only
+    weakly."""
+    import numpy as np
+
+    from xtddft_tpu.methods.drivers import XSFTDA
+    from xtddft_tpu.response import dense, make_reference
+
+    ref = make_reference(fh_roks)
+    nc, no, nv = ref.nc, ref.no, ref.nv
+    A, _ = dense.xsf_dense(ref, SA=3, foo=1.0, fglobal=0.85, method=0,
+                           remove=False)
+    # independent mask: excitation index -> (block, i); drop core i=0
+    labels = (
+        [("cv", i) for i in range(nc) for _ in range(nv)]
+        + [("co", i) for i in range(nc) for _ in range(no)]
+        + [("ov", None)] * (no * nv) + [("oo", None)] * (no * no)
+    )
+    keep = [k for k, (blk, i) in enumerate(labels)
+            if blk in ("ov", "oo") or i >= 1]
+    e_ref = np.linalg.eigh(A[np.ix_(keep, keep)])[0][:4]
+
+    r = XSFTDA(fh_roks, nstates=4, backend="dense").kernel(
+        remove=False, frozen=True, fglobal=0.85)
+    assert np.abs(np.asarray(r.e) - e_ref).max() < 1e-12
+    r0 = XSFTDA(fh_roks, nstates=4, backend="dense").kernel(
+        remove=False, fglobal=0.85)
+    # core excitations sit far above the valence SF states: the valence
+    # spectrum is nearly unchanged
+    assert np.abs(np.asarray(r.e) - np.asarray(r0.e)).max() < 0.05

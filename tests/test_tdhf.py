@@ -1,0 +1,103 @@
+"""Full TDHF/RPA (A,B) pencil: solver identities + driver physics.
+
+Validation is internal-consistency based (the reference ships no TDHF
+response of its own — its grad layer consumes pyscf tdscf amplitudes):
+the symmetrized Casida solve must match a direct non-Hermitian
+diagonalization of [[A,B],[-B,-A]], collapse to TDA at B=0, obey the
+Thouless bound (RPA <= TDA root by root), and closed-shell UTDHF must
+reproduce the union of singlet+triplet RTDHF spectra.
+"""
+
+import numpy as np
+import pytest
+
+from xtddft_tpu.chem import Molecule
+from xtddft_tpu.scf import RKS, RHF, UKS
+
+
+@pytest.fixture(scope="module")
+def h2o_rks():
+    mol = Molecule.from_atoms(
+        "O 0 0 0.1173; H 0 0.7572 -0.4692; H 0 -0.7572 -0.4692",
+        basis="sto-3g",
+    )
+    return RKS(mol, xc="b3lyp", grid_level=1).kernel()
+
+
+def _rpa_direct(A, B, nroots):
+    """Reference: eig of the full non-Hermitian RPA matrix."""
+    dim = A.shape[0]
+    M = np.block([[A, B], [-B, -A]])
+    w = np.linalg.eigvals(M)
+    w = np.sort(w[np.abs(w.imag) < 1e-10].real)
+    return w[w > 1e-12][:nroots]
+
+
+def test_casida_matches_direct_eig(h2o_rks):
+    from xtddft_tpu.response import make_reference
+    from xtddft_tpu.response.tdhf import rtdhf_dense, solve_casida
+
+    ref = make_reference(h2o_rks)
+    A, B = rtdhf_dense(ref, singlet=True)
+    e, xpy, xmy = solve_casida(A, B, 6)
+    e_direct = _rpa_direct(A, B, 6)
+    assert np.abs(e - e_direct).max() < 1e-10
+    # pencil residual: A(X+Y) + B(X+Y) ... check the defining equations
+    # (A+B)(X+Y) = w (X-Y), (A-B)(X-Y) = w (X+Y)
+    r1 = (A + B) @ xpy - xmy * e[None, :]
+    r2 = (A - B) @ xmy - xpy * e[None, :]
+    assert np.abs(r1).max() < 1e-9 and np.abs(r2).max() < 1e-9
+    # normalization <X+Y|X-Y> = 1
+    assert np.abs(np.einsum("is,is->s", xpy, xmy) - 1.0).max() < 1e-10
+
+
+def test_casida_tda_limit(h2o_rks):
+    from xtddft_tpu.response import make_reference
+    from xtddft_tpu.response.dense import tda_singlet_dense
+    from xtddft_tpu.response.tdhf import solve_casida
+
+    ref = make_reference(h2o_rks)
+    A = tda_singlet_dense(ref)
+    e, xpy, xmy = solve_casida(A, np.zeros_like(A), 5)
+    e_tda = np.linalg.eigvalsh(A)[:5]
+    assert np.abs(e - e_tda).max() < 1e-11
+    assert np.abs(xpy - xmy).max() < 1e-8  # Y = 0
+
+
+def test_thouless_bound_and_driver(h2o_rks):
+    from xtddft_tpu.methods.drivers import TDA, TDHF
+
+    rt = TDA(h2o_rks, nstates=5).kernel()
+    rr = TDHF(h2o_rks, nstates=5).kernel()
+    # RPA lowers every root relative to TDA (Thouless)
+    assert np.all(rr.e <= rt.e + 1e-12)
+    assert np.all(rr.e > 0) and np.all(np.isfinite(rr.osc))
+    assert np.all(rr.osc >= -1e-12)
+    assert rr.v_xmy is not None
+
+
+def test_utdhf_closed_shell_equals_r_spectra(h2o_rks):
+    """UTDHF on a closed-shell UKS reference = union of singlet+triplet
+    RTDHF spectra (each R state doubly represented in U space)."""
+    from xtddft_tpu.methods.drivers import TDHF, UTDHF
+
+    mol = h2o_rks.mol
+    mfu = UKS(mol, xc="b3lyp", grid_level=1).kernel()
+    ru = UTDHF(mfu, nstates=8).kernel()
+    es = TDHF(h2o_rks, nstates=6, singlet=True).kernel().e
+    et = TDHF(h2o_rks, nstates=6, singlet=False).kernel().e
+    union = np.sort(np.concatenate([es, et]))[:8]
+    assert np.abs(ru.e - union).max() < 5e-6
+
+
+def test_rpa_instability_reported():
+    """A deliberately stretched H2 triplet channel: A-B not PD must raise,
+    not return complex/garbage roots."""
+    from xtddft_tpu.methods.drivers import TDHF
+    from xtddft_tpu.response.tdhf import RPAInstabilityError
+
+    mol = Molecule.from_atoms("H 0 0 0; H 0 0 3.5", basis="sto-3g",
+                              unit="bohr")
+    mf = RHF(mol).kernel()
+    with pytest.raises(RPAInstabilityError):
+        TDHF(mf, nstates=2, singlet=False).kernel()

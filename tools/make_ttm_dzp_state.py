@@ -1,0 +1,98 @@
+"""Build the TTM/dzp (598 AO) production reference state end-to-end.
+
+This is the round-1 north star (VERDICT.md item 1): a real open-shell
+chromophore at DZ+P scale, converged through the density-fitted SCF with
+the chip-resident mixed-precision engine, checkpointed for the 20-root
+DF X-TDA production run (`tools/run_ttm_dzp_xtda.py`, bench.py).
+
+The reference computes this class of system through PySCF's AO-direct
+host SCF (`/root/reference/xtddft/XTDA.py:520` takes a converged pyscf
+``mf``; the TTM benchmark geometries live in
+`/root/reference/xtddft/utils/atom.py`).  On this host (one CPU core)
+a single AO-direct J/K cycle at 598 AO is ~hours; the TPU-native design
+splits the work as:
+
+  phase a (host, one-time):  native C++ screened 3c/2c integrals
+                             -> disk cache (~11 GB raw j3c)
+  phase b (chip):            streaming on-chip metric dressing, then the
+                             bf16 -> f32 -> refined DF-SCF hot loop on
+                             the MXU (`scf/jk_device.py`)
+
+Run:
+  python tools/make_ttm_dzp_state.py a     # host integrals -> cache/
+  python tools/make_ttm_dzp_state.py b     # chip SCF -> tests/data ckpt
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+CACHE = ROOT / "cache"
+CKPT = ROOT / "tests" / "data" / "ttm_dzp_ckpt.npz"
+
+BASIS = "dzp"
+AUX_MODE = "jk"
+XC = "b3lyp"
+GRID_LEVEL = 1
+
+
+def build_env():
+    from xtddft_tpu.chem import Molecule
+    from xtddft_tpu.chem import geometries as G
+    from xtddft_tpu.scf.env import Env
+
+    mol = Molecule.from_atoms(G.ttm_vacuum, basis=BASIS, spin=1)
+    return Env(mol, grid_level=GRID_LEVEL, df=True, aux_mode=AUX_MODE)
+
+
+def phase_a():
+    import numpy as np
+
+    CACHE.mkdir(exist_ok=True)
+    env = build_env()
+    print(f"nao={env.nao} naux={env.aux_layout.nao}", flush=True)
+
+    t0 = time.time()
+    w, U = env.df_metric_eig_host(0.0)
+    print(f"metric eig: {time.time()-t0:.0f}s  naux_kept={w.size}", flush=True)
+    np.save(CACHE / "ttm_dzp_metric_w.npy", w)
+    np.save(CACHE / "ttm_dzp_metric_U.npy", U)
+
+    t0 = time.time()
+    j3c = env.df_j3c_host(0.0)
+    print(f"j3c: {time.time()-t0:.0f}s  {j3c.nbytes/1e9:.1f} GB", flush=True)
+    np.save(CACHE / "ttm_dzp_j3c.npy", j3c)
+    print("phase a done", flush=True)
+
+
+def phase_b():
+    import numpy as np
+
+    from xtddft_tpu.scf import ROKS
+    from xtddft_tpu.scf.checkpoint import save_mf
+
+    env = build_env()
+    env.set_df_j3c(np.load(CACHE / "ttm_dzp_j3c.npy", mmap_mode="r"))
+    w = np.load(CACHE / "ttm_dzp_metric_w.npy")
+    U = np.load(CACHE / "ttm_dzp_metric_U.npy")
+    env._df_meig_cache = {0.0: (w, U)}
+
+    mf = ROKS(env.mol, xc=XC, grid_level=GRID_LEVEL, env=env,
+              engine="device")
+    mf.verbose = 1
+    t0 = time.time()
+    out = mf.kernel()
+    print(f"device DF-SCF: E = {out.e_tot:.10f} converged={out.converged} "
+          f"({time.time()-t0:.0f}s)", flush=True)
+    assert out.converged
+    save_mf(out, str(CKPT))
+    print("wrote", CKPT, flush=True)
+
+
+if __name__ == "__main__":
+    {"a": phase_a, "b": phase_b}[sys.argv[1]]()

@@ -129,6 +129,9 @@ class ExcitedGradients:
 
     mf: object
     method: str = "xcis"
+    # spin-flip xc kernel for method='sfcis-up': 0 = ALDA0 transverse,
+    # 1 = multicollinear (the SF drivers' `method` convention)
+    sf_method: int = 0
 
     def __post_init__(self):
         mf = self.mf
@@ -151,6 +154,10 @@ class ExcitedGradients:
         self.hyb_lr = 0.0  # long-range K coefficient (alpha - hyb)
         self._exc = None
         self._sf_xc = None
+        if self.spec is not None and self.spec.needs_tau:
+            raise NotImplementedError(
+                "analytic gradients: the differentiable XC quadrature "
+                "(grad/xcgrid.py) carries no tau channel yet (MGGA)")
         if self.spec is not None:
             self.hyb = self.spec.hyb
             if abs(self.spec.omega) > 1e-12:
@@ -161,12 +168,19 @@ class ExcitedGradients:
             self._exc = make_exc_fn(mf.mol, mf.env.layout, self.spec,
                                     level=mf.env.grid_level)
             if self.method == "sfcis-up":
-                # spin-flip channel: ALDA0 transverse kernel (method=0
-                # of the SF drivers); the collinear/mcol variants remain
-                # FD-only
-                self._sf_xc = make_sf_alda0_fn(mf.mol, mf.env.layout,
-                                               self.spec,
-                                               level=mf.env.grid_level)
+                # spin-flip channel: ALDA0 transverse (sf_method=0) or
+                # multicollinear (sf_method=1) kernel, both
+                # differentiated straight through their quadratures
+                if self.sf_method == 1:
+                    from xtddft_tpu.grad.xcgrid import make_sf_mcol_fn
+
+                    self._sf_xc = make_sf_mcol_fn(mf.mol, mf.env.layout,
+                                                  self.spec,
+                                                  level=mf.env.grid_level)
+                else:
+                    self._sf_xc = make_sf_alda0_fn(mf.mol, mf.env.layout,
+                                                   self.spec,
+                                                   level=mf.env.grid_level)
         self.kind = mf.kind
         mol = mf.mol
         self.coords0 = np.asarray(mol.coords, dtype=np.float64)
@@ -230,9 +244,9 @@ class ExcitedGradients:
     # -- excitation energy as a quadratic form -------------------------------
     def _x_dims(self):
         na, nb, nmo = self.na, self.nb, self.nmo
-        if self.method in ("cis", "cis-triplet"):
+        if self.method in ("cis", "cis-triplet", "rtdhf", "rtdhf-triplet"):
             return [(nb, nmo - nb)]
-        if self.method == "ucis":
+        if self.method in ("ucis", "utdhf"):
             return [(na, nmo - na), (nb, nmo - nb)]
         if self.method == "xcis":
             # X-TDA space: alpha (na x nv_a) + beta (nb x nv_b)
@@ -243,8 +257,13 @@ class ExcitedGradients:
         raise ValueError(self.method)
 
     @property
+    def is_tdhf(self) -> bool:
+        return self.method in ("rtdhf", "rtdhf-triplet", "utdhf")
+
+    @property
     def xdim(self) -> int:
-        return sum(o * v for o, v in self._x_dims())
+        d = sum(o * v for o, v in self._x_dims())
+        return 2 * d if self.is_tdhf else d  # packed [X; Y]
 
     def _omega(self, coords, kvec, x):
         return self._omega_i(self._ints(coords), kvec, x)
@@ -300,7 +319,113 @@ class ExcitedGradients:
 
             return jax.jvp(dg, (0.0,), (1.0,))[1]
 
+        def fxc_bilinear(TaX, TbX, TaY, TbY):
+            """Bilinear fxc coupling between two transition-density pairs
+            via the polarization identity over the quadratic form."""
+            if self._exc is None:
+                return 0.0
+            return 0.25 * (
+                fxc_dir(TaX + TaY, TbX + TbY) - fxc_dir(TaX - TaY, TbX - TbY)
+            )
+
+        def kxb(t1x, t1y):
+            """RPA B-matrix exchange contraction: sum_{iajb} (ib|ja)
+            x_ia y_jb over AO transition densities t1 = Co z Cv^T
+            (t1[p,s]: p occupied-side AO, s virtual-side AO), with the
+            RSH-combined kernel (mirrors `response/tdhf.py:
+            _exchange_ibja`).  Index derivation: (ib|ja) x_ia y_jb =
+            eri[pqrs] (Co x Cv^T)[p,s] (Co y Cv^T)[r,q] — note the
+            TRANSPOSED second density; the "pqrs,ps,qr" form collapses by
+            p<->q symmetry to the A-type (ij|ab) exchange instead.
+            Validated against the dense B in tests/test_grad_tdhf.py."""
+            out = hyb * jnp.einsum("pqrs,ps,rq->", eri, t1x, t1y)
+            if self.hyb_lr != 0.0:
+                out = out + self.hyb_lr * jnp.einsum(
+                    "pqrs,ps,rq->", ints["eri_lr"], t1x, t1y)
+            return out
+
         dims = self._x_dims()
+
+        if self.method in ("rtdhf", "rtdhf-triplet"):
+            # omega[X,Y] = X^T A X + Y^T A Y + 2 X^T B Y with the RPA
+            # amplitudes fixed at their converged values; the functional
+            # is stationary under norm-preserving amplitude variations
+            # (X^T X - Y^T Y = 1), so the Lagrangian Z-vector only needs
+            # the orbital response — exactly the structure the reference
+            # consumes from pyscf in `grad_jp/grad/rtdhf.py:13`.
+            singlet = self.method == "rtdhf"
+            no, nv = dims[0]
+            zx = x[: no * nv].reshape(no, nv)
+            zy = x[no * nv:].reshape(no, nv)
+            Co, Cv = Ca[:, :no], Ca[:, no:]
+
+            def a_form(z):
+                w = jnp.einsum("ia,ab,ib->", z, Fa_mo[no:, no:], z)
+                w -= jnp.einsum("ia,ij,ja->", z, Fa_mo[:no, :no], z)
+                t1 = Co @ z @ Cv.T
+                t1s = 0.5 * (t1 + t1.T) / jnp.sqrt(2.0)
+                if singlet:
+                    w += 2.0 * jnp.einsum("pq,pqrs,rs->", t1, eri, t1)
+                    w += fxc_dir(t1s, t1s)
+                else:
+                    w += fxc_dir(t1s, -t1s)
+                return w - kx(t1, t1)
+
+            def b_form(z1, z2):
+                t1 = Co @ z1 @ Cv.T
+                t2 = Co @ z2 @ Cv.T
+                t1s = 0.5 * (t1 + t1.T) / jnp.sqrt(2.0)
+                t2s = 0.5 * (t2 + t2.T) / jnp.sqrt(2.0)
+                if singlet:
+                    w = 2.0 * jnp.einsum("pq,pqrs,rs->", t1, eri, t2)
+                    w += fxc_bilinear(t1s, t1s, t2s, t2s)
+                else:
+                    w = fxc_bilinear(t1s, -t1s, t2s, -t2s)
+                return w - kxb(t1, t2)
+
+            return a_form(zx) + a_form(zy) + 2.0 * b_form(zx, zy)
+
+        if self.method == "utdhf":
+            (noa, nva), (nob, nvb) = dims
+            da_len = noa * nva + nob * nvb
+            xs, ys = x[:da_len], x[da_len:]
+
+            def split(v):
+                return (v[: noa * nva].reshape(noa, nva),
+                        v[noa * nva:].reshape(nob, nvb))
+
+            zxa, zxb = split(xs)
+            zya, zyb = split(ys)
+            Coa, Cva = Ca[:, :noa], Ca[:, noa:]
+            Cob, Cvb = Cb[:, :nob], Cb[:, nob:]
+
+            def t_ao(za, zb):
+                return Coa @ za @ Cva.T, Cob @ zb @ Cvb.T
+
+            def a_form(za, zb):
+                w = jnp.einsum("ia,ab,ib->", za, Fa_mo[noa:, noa:], za)
+                w -= jnp.einsum("ia,ij,ja->", za, Fa_mo[:noa, :noa], za)
+                w += jnp.einsum("ia,ab,ib->", zb, Fb_mo[nob:, nob:], zb)
+                w -= jnp.einsum("ia,ij,ja->", zb, Fb_mo[:nob, :nob], zb)
+                t1a, t1b = t_ao(za, zb)
+                dt = t1a + t1b
+                w += jnp.einsum("pq,pqrs,rs->", dt, eri, dt)
+                w -= kx(t1a, t1a) + kx(t1b, t1b)
+                w += fxc_dir(0.5 * (t1a + t1a.T), 0.5 * (t1b + t1b.T))
+                return w
+
+            def b_form(za1, zb1, za2, zb2):
+                t1a, t1b = t_ao(za1, zb1)
+                t2a, t2b = t_ao(za2, zb2)
+                w = jnp.einsum("pq,pqrs,rs->", t1a + t1b, eri, t2a + t2b)
+                w -= kxb(t1a, t2a) + kxb(t1b, t2b)
+                w += fxc_bilinear(0.5 * (t1a + t1a.T), 0.5 * (t1b + t1b.T),
+                                  0.5 * (t2a + t2a.T), 0.5 * (t2b + t2b.T))
+                return w
+
+            return (a_form(zxa, zxb) + a_form(zya, zyb)
+                    + 2.0 * b_form(zxa, zxb, zya, zyb))
+
         if self.method == "sfcis-up":
             # A_{ia,jb} = d_ij F^a_ab - d_ab F^b_ij - hyb (ab|ji)
             # [+ ALDA0 SF kernel for KS]: no Coulomb term in the
@@ -398,7 +523,11 @@ class ExcitedGradients:
     def states(self, nstates: int = 5):
         """(e, X) from the dense eigenproblem of THIS module's quadratic
         form: A = 1/2 d2(omega)/dX2.  Cross-checked against the method
-        drivers in tests."""
+        drivers in tests.
+
+        TDHF methods return packed [X; Y] columns with X^T X - Y^T Y = 1,
+        solved from the (A, B) pencil whose blocks are second derivatives
+        of the SAME omega functional the gradient differentiates."""
         k0 = jnp.zeros(self.nk)
         ints0 = self._ints0()
 
@@ -408,9 +537,21 @@ class ExcitedGradients:
                 lambda x: self._omega_i(ints0, k0, x)
             )(x0)
 
-        A = hess(jnp.zeros(self.xdim))
-        e, v = np.linalg.eigh(np.asarray(A))
-        return e[:nstates], v[:, :nstates]
+        if not self.is_tdhf:
+            A = hess(jnp.zeros(self.xdim))
+            e, v = np.linalg.eigh(np.asarray(A))
+            return e[:nstates], v[:, :nstates]
+
+        from xtddft_tpu.response.tdhf import solve_casida
+
+        # full Hessian of omega[X,Y] is [[2A, 2B], [2B, 2A]]
+        H = np.asarray(hess(jnp.zeros(self.xdim)))
+        d = self.xdim // 2
+        A = H[:d, :d]
+        B = H[:d, d:]
+        e, xpy, xmy = solve_casida(A, B, nstates)
+        v = np.concatenate([0.5 * (xpy + xmy), 0.5 * (xpy - xmy)], axis=0)
+        return e, v
 
     # -- the gradient ---------------------------------------------------------
     def kernel(self, state: int = 0, nstates: int | None = None,

@@ -193,3 +193,33 @@ def make_sf_alda0_fn(mol, layout: BasisLayout, spec: XCSpec, level: int = 1):
         return jnp.sum(fw * rt * rt)
 
     return sf_term
+
+
+def make_sf_mcol_fn(mol, layout: BasisLayout, spec: XCSpec, level: int = 1,
+                    nt: int = 20):
+    """Return ``sf_term(coords, Da, Db, T) -> float``: the MULTICOLLINEAR
+    spin-flip xc contribution  sum_g s(g) . H_mc(g) . s(g)  of the SF-TDA
+    quadratic form, differentiable in the coordinates.
+
+    s(g) = (rho_T, grad rho_T) is the 4-component transition density of
+    the (non-hermitian) alpha<-beta AO density T, and H_mc the transverse
+    multicollinear kernel (`xc/mcol.py:sf_kernel_mcol`, itself pure JAX:
+    a Gauss-Legendre t-integral of pointwise energy Hessians) — the
+    reference's WIP analog is `grad_hb/tduks_sfu.py:59`
+    `_contract_xc_kernel` over pyscf-forge's numint2c, here obtained by
+    differentiating straight through the kernel quadrature."""
+    from xtddft_tpu.xc.mcol import sf_kernel_mcol
+
+    grid_ao = _make_grid_ao(mol, layout, level)
+
+    def sf_term(coords, Da, Db, T):
+        w, ao, dao = grid_ao(coords)
+        rho0 = _rho_terms(w, ao, dao, Da, Db)
+        fxcH = sf_kernel_mcol(spec, w, rho0, nt=nt)  # (ng, 4, 4)
+        rt = jnp.einsum("gp,pq,gq->g", ao, T, ao)
+        grt = jnp.einsum("xgp,pq,gq->xg", dao, T, ao) + jnp.einsum(
+            "gp,pq,xgq->xg", ao, T, dao)
+        sv = jnp.concatenate([rt[None], grt], axis=0)  # (4, ng)
+        return jnp.einsum("cg,gcd,dg->", sv, fxcH, sv)
+
+    return sf_term

@@ -35,6 +35,8 @@ class ExcitationResult:
     ds2: np.ndarray | None = None
     converged: bool = True
     irreps: list | None = None  # Mulliken labels (with symmetry=True)
+    solver: str | None = None  # which eigensolver path produced e/v
+    v_xmy: np.ndarray | None = None  # (X-Y) for full TDHF/RPA (v is X+Y)
 
     @property
     def e_eV(self) -> np.ndarray:
@@ -71,6 +73,75 @@ def _resolve_backend(ref: Reference, backend: str, dim: int,
     return "dense"
 
 
+def _df_solve(build_data, make_op, nroots: int, solver: str = "auto",
+              pick_positive: bool = False):
+    """Production DF eigensolve: one fused device dispatch.
+
+    On a TPU default backend this runs the full production recipe the
+    bench uses (the reference's accelerated drivers `xtddft/XTDA_GPU.py`
+    keep CuPy f64 throughout — a TPU has no f64 datapath, so the
+    TPU-native answer is reduced-precision iteration + f64 refinement):
+
+      1. build the DF data in f64 ON THE HOST (chip f64 is emulated),
+      2. cast to f32 and solve with the fully-jitted Davidson — the
+         entire while_loop is ONE dispatch, so remote-tunnel latency is
+         paid once per solve instead of several times per cycle,
+      3. refine by one host-f64 Rayleigh-Ritz in the converged subspace
+         (rotating the vectors, not just the energies).
+
+    On the CPU backend the operator is already f64: the fulljit solve
+    runs directly at tight tolerance and step 3 is skipped.
+
+    solver: 'auto'/'fulljit' (production) | 'device' (per-cycle host
+    round-trip Davidson; debugging escape hatch).
+    Returns (e, v(dim,nroots), conv, op, label).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from xtddft_tpu import config as _config
+    from xtddft_tpu.response.sigma_df import cast_df_data
+    from xtddft_tpu.solver.davidson_jit import (davidson_device,
+                                                davidson_fulljit)
+
+    on_tpu = _config.is_tpu()
+    op64 = None
+    if on_tpu:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            data64 = build_data()
+            op64 = make_op(data64)
+        op = make_op(cast_df_data(data64, np.float32))
+    else:
+        op = make_op(build_data())
+
+    nroots = min(nroots, op.dim)
+    if solver == "device":
+        e, vv, conv = davidson_device(
+            op.matvec, op.hdiag, nroots=nroots,
+            init_guess=op.init_guess(nroots),
+            pick_positive=pick_positive, tol=None,
+        )
+        label = "device"
+    else:
+        e, vv, conv, _info = davidson_fulljit(
+            op.matvec_raw, op.consts, op.hdiag, nroots=nroots,
+            init_guess=op.init_guess(nroots), tol=None,
+            pick_positive=pick_positive, return_info=True,
+        )
+        label = "fulljit"
+    if op64 is not None and vv.size:
+        with jax.default_device(cpu):
+            V, _ = np.linalg.qr(np.asarray(vv, dtype=np.float64))
+            AV = np.asarray(op64.matvec(jnp.asarray(V.T))).T
+            H = V.T @ AV
+            w, s = np.linalg.eigh(0.5 * (H + H.T))
+        e = w[:nroots]
+        vv = (V @ s)[:, :nroots]
+        label += "+f64rr"
+    return e, vv, conv, op, label
+
+
 class TDA(_Base):
     """Closed-shell TDA (RKS/RHF reference)."""
 
@@ -102,6 +173,58 @@ class TDA(_Base):
         return ExcitationResult(e=e, v=v, osc=osc, rot=rot)
 
 
+class TDHF(_Base):
+    """Closed-shell full TDHF/RPA (RHF/RKS reference).
+
+    Solves the (A,B) pencil — the response layer behind the reference's
+    rtdhf gradients (`xtddft/grad_jp/grad/rtdhf.py:13` consumes pyscf
+    ``tdscf.TDHF`` X,Y amplitudes; here the states are produced in-house
+    via `response/tdhf.py`).  Result: v = (X+Y), v_xmy = (X-Y), with
+    <X+Y|X-Y> = 1; length-gauge osc from X+Y, velocity-gauge rotatory
+    strengths from X-Y."""
+
+    def __init__(self, mf, nstates: int = 5, singlet: bool = True):
+        super().__init__(mf, nstates)
+        self.singlet = singlet
+        if self.ref.no != 0:
+            raise ValueError(
+                "TDHF requires a closed-shell (RKS/RHF) reference; use "
+                "UTDHF for open-shell systems"
+            )
+
+    def kernel(self) -> ExcitationResult:
+        from xtddft_tpu.response.tdhf import rtdhf_dense, solve_casida
+
+        ref = self.ref
+        A, B = rtdhf_dense(ref, self.singlet)
+        e, xpy, xmy = solve_casida(A, B, self.nstates)
+        if self.singlet:
+            osc = oscillator.closed_shell_osc(ref, e, xpy)
+            rot = oscillator.closed_shell_rot(ref, e, xmy)
+        else:
+            osc = np.zeros(e.shape[0])
+            rot = np.zeros(e.shape[0])
+        return ExcitationResult(e=e, v=xpy, osc=osc, rot=rot, v_xmy=xmy,
+                                solver="dense-casida")
+
+
+class UTDHF(_Base):
+    """Unrestricted full TDHF/RPA in the blocked CV(a)|OV(a)|CO(b)|CV(b)
+    layout (the response layer behind `xtddft/grad_jp/grad/utdhf.py:13`)."""
+
+    def kernel(self) -> ExcitationResult:
+        from xtddft_tpu.response.tdhf import solve_casida, utdhf_dense
+
+        ref = self.ref
+        A, B = utdhf_dense(ref)
+        e, xpy, xmy = solve_casida(A, B, self.nstates)
+        osc = oscillator.spin_conserving_osc(ref, e, xpy)
+        rot = oscillator.spin_conserving_rot(ref, e, xmy)
+        ds2 = spin.utda_delta_s2(ref, xpy)
+        return ExcitationResult(e=e, v=xpy, osc=osc, rot=rot, ds2=ds2,
+                                v_xmy=xmy, solver="dense-casida")
+
+
 class UTDA(_Base):
     """Unrestricted TDA in the blocked CV(a)|OV(a)|CO(b)|CV(b) layout."""
 
@@ -128,11 +251,12 @@ class XTDA(_Base):
 
     def __init__(self, mf, nstates: int = 10, so2st_out: bool = False,
                  use_davidson: bool = False, backend: str = "auto",
-                 symmetry: bool = False):
+                 solver: str = "auto", symmetry: bool = False):
         super().__init__(mf, nstates)
         self.so2st_out = so2st_out
         self.use_davidson = use_davidson
         self.backend = backend
+        self.solver = solver
         self.symmetry = symmetry
         if not self.ref.restricted_open:
             raise ValueError("XTDA requires a ROKS/ROHF reference")
@@ -141,15 +265,13 @@ class XTDA(_Base):
         ref = self.ref
         dim = (ref.nc + ref.no) * ref.nv + ref.nc * (ref.no + ref.nv)
         backend = _resolve_backend(ref, self.backend, dim, self.use_davidson)
+        solver_label = backend
         if backend == "df":
             from xtddft_tpu.response.sigma_df import build_df_data, xtda_sigma_df
-            from xtddft_tpu.solver.davidson_jit import davidson_device
 
-            op = xtda_sigma_df(build_df_data(ref))
-            e, vv, conv = davidson_device(
-                op.matvec, op.hdiag, nroots=self.nstates,
-                init_guess=op.init_guess(self.nstates),
-                pick_positive=True, tol=None,
+            e, vv, conv, op, solver_label = _df_solve(
+                lambda: build_df_data(ref), xtda_sigma_df, self.nstates,
+                solver=self.solver, pick_positive=True,
             )
             v = op.to_blocked(vv)
             converged = bool(np.all(conv))
@@ -183,7 +305,8 @@ class XTDA(_Base):
         if self.so2st_out:
             v = so2st(v, ref.nc, ref.no, ref.nv)
         return ExcitationResult(e=e, v=v, osc=osc, rot=rot, ds2=ds2,
-                                converged=converged, irreps=irreps)
+                                converged=converged, irreps=irreps,
+                                solver=solver_label)
 
 
 class SFTDA(_Base):
@@ -233,23 +356,31 @@ class XSFTDA(_Base):
 
     def __init__(self, mf, nstates: int = 5, SA: int | None = None,
                  method: int = 0, use_davidson: bool = False,
-                 backend: str = "auto", symmetry: bool = False):
+                 backend: str = "auto", solver: str = "auto",
+                 symmetry: bool = False):
         super().__init__(mf, nstates)
         self.SA = SA if SA is not None else (3 if self.ref.restricted_open else 0)
         self.method = method
         self.use_davidson = use_davidson
         self.backend = backend
+        self.solver = solver
         self.symmetry = symmetry
 
     def kernel(
         self,
         nstates: int | None = None,
         remove: bool | None = None,
+        frozen: int | bool | None = None,
         foo: float = 1.0,
         d_lda: float = 0.3,
         fglobal: float | None = None,
         fit: bool = True,
     ) -> ExcitationResult:
+        """frozen: drop the innermost ``frozen`` core orbitals from the
+        CV and CO excitation blocks (frozen=True means 1), matching
+        `xtddft/XSF_TDA.py:1483 frozen_A` (whose int branch is broken by
+        an undefined-variable bug; semantics reproduced, bug not).
+        Dense backend with remove=False only, as in the reference."""
         ref = self.ref
         n = nstates if nstates is not None else self.nstates
         if self.SA > 0 and ref.no < 2:
@@ -277,19 +408,21 @@ class XSFTDA(_Base):
         converged = True
         dim = (ref.nc + ref.no) * (ref.no + ref.nv)
         backend = _resolve_backend(ref, self.backend, dim, self.use_davidson)
+        if frozen is not None and backend != "dense":
+            raise ValueError("frozen core requires backend='dense'")
+        solver_label = backend
         if backend == "df":
             from xtddft_tpu.response.sigma_df import build_df_data, xsf_sigma_df
-            from xtddft_tpu.solver.davidson_jit import davidson_device
 
-            op = xsf_sigma_df(
-                build_df_data(ref), SA=self.SA, foo=foo, fglobal=fglobal,
-                method=self.method, remove=remove,
+            e, vv, conv, op, solver_label = _df_solve(
+                lambda: build_df_data(ref),
+                lambda data: xsf_sigma_df(
+                    data, SA=self.SA, foo=foo, fglobal=fglobal,
+                    method=self.method, remove=remove,
+                ),
+                n, solver=self.solver,
             )
             n = min(n, op.dim)
-            e, vv, conv = davidson_device(
-                op.matvec, op.hdiag, nroots=n,
-                init_guess=op.init_guess(n), tol=None,
-            )
             v_full = op.to_blocked(vv)
             converged = bool(np.all(conv))
         elif backend == "incore":
@@ -311,9 +444,27 @@ class XSFTDA(_Base):
                 ref, SA=self.SA, foo=foo, fglobal=fglobal, method=self.method,
                 remove=remove,
             )
+            keep = None
+            if frozen is not None:
+                if remove:
+                    raise ValueError(
+                        "frozen core is a remove=False feature (as in the "
+                        "reference's frozen_A path)")
+                f = 1 if frozen is True else max(int(frozen), 1)
+                nc, no_, nv = ref.nc, ref.no, ref.nv
+                if f > nc:
+                    raise ValueError(f"frozen={f} exceeds nc={nc}")
+                d1, d2 = nc * nv, nc * nv + nc * no_
+                keep = np.r_[f * nv: d1, d2 - (nc - f) * no_: A.shape[0]]
+                A = A[np.ix_(keep, keep)]
             e, v = np.linalg.eigh(A)
             n = min(n, e.shape[0])
             e, v = e[:n], v[:, :n]
+            if keep is not None:
+                vf = np.zeros((ref.nc * ref.nv + ref.nc * ref.no
+                               + ref.no * ref.nv + ref.no * ref.no, n))
+                vf[keep] = v
+                v = vf
             if vects is not None:
                 d3 = ref.nc * ref.nv + ref.nc * ref.no + ref.no * ref.nv
                 v_full = np.concatenate([v[:d3], vects @ v[d3:]], axis=0)
@@ -331,4 +482,4 @@ class XSFTDA(_Base):
 
             irreps, _ = state_irreps(ref, v_full, kind="spin_flip")
         return ExcitationResult(e=e, v=v_full, ds2=ds2, converged=converged,
-                                irreps=irreps)
+                                irreps=irreps, solver=solver_label)

@@ -31,6 +31,10 @@ def _rho0(ref: Reference):
     ao = ref.env.ao
     da = jnp.asarray(ref.orbo_a @ ref.orbo_a.T)
     db = jnp.asarray(ref.orbo_b @ ref.orbo_b.T)
+    if ref.spec is not None and ref.spec.needs_tau:
+        ra, ga, ta = cache_rho(ao, da, tau=True)
+        rb, gb, tb = cache_rho(ao, db, tau=True)
+        return (ra, rb, ga, gb, ta, tb)
     ra, ga = cache_rho(ao, da)
     rb, gb = cache_rho(ao, db)
     return (ra, rb, ga, gb)

@@ -26,6 +26,12 @@ from xtddft_tpu.xc import interface as xci
 
 
 def _rho0_jnp(ref: Reference):
+    if ref.spec is not None and ref.spec.needs_tau:
+        # the matrix-free/DF fxc quadratures carry no tau channel yet;
+        # MGGA response runs on the dense backend (fxc_tensor has the
+        # tau feature column)
+        raise NotImplementedError(
+            "MGGA response is dense-backend only: use backend='dense'")
     ao = ref.env.ao
     da = jnp.asarray(ref.orbo_a @ ref.orbo_a.T)
     db = jnp.asarray(ref.orbo_b @ ref.orbo_b.T)

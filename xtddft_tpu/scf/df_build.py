@@ -103,13 +103,30 @@ def _pow2_colscale(blk: np.ndarray) -> np.ndarray:
     return np.exp2(np.ceil(np.log2(m)))
 
 
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("nnull", "tile"))
+def _dress_block_hi(Bhi, uh, ul, sh, sl, bh, bl, cs, off, nnull=0,
+                    tile=512):
+    ph, _ = _dress(uh, ul, sh, sl, bh, bl, cs=cs, nnull=nnull, tile=tile)
+    return jax.lax.dynamic_update_slice_in_dim(Bhi, ph, off, 1)
+
+
 def build_b_device(metric_eig, j3c: np.ndarray,
-                   col_chunk: int = 1 << 16, tile: int = 512):
+                   col_chunk: int = 1 << 13, tile: int = 512,
+                   keep_lo: bool = True):
     """(naux, nao, nao) device-resident B as an f32 (hi, lo) pair.
 
     metric_eig: (w, U) host-f64 truncated eigendecomposition of the fit
                 metric (`Env.df_metric_eig_host`).
     j3c:        host-f64 (naux, nao, nao) raw 3-center integrals.
+    keep_lo:    with False, only the hi half stays resident (the pair is
+                still computed per block, so hi is the correctly-rounded
+                f32 of the compensated dressing).  Halves the dominant
+                HBM tensor; downstream compensated J/K then carries B's
+                f32 REPRESENTATION error (~6e-8 relative) instead of
+                ~2^-48 — at production sizes that is the right trade,
+                because 2*naux*nao^2 floats do not fit a 16 GB chip
+                (TTM/dzp: 11.4 GB) while the Fock target is ~1e-7.
     """
     w, U = metric_eig
     naux, nao = j3c.shape[0], j3c.shape[1]
@@ -118,16 +135,25 @@ def build_b_device(metric_eig, j3c: np.ndarray,
     uh, ul = _split_dev(U)
     sh, sl = _split_dev(1.0 / np.sqrt(w))
     Bhi = jnp.zeros((naux, ncol), jnp.float32)
-    Blo = jnp.zeros((naux, ncol), jnp.float32)
+    Blo = jnp.zeros((naux, ncol), jnp.float32) if keep_lo else None
     for off in range(0, ncol, col_chunk):
         blk = j2[:, off:off + col_chunk]
         cs = _pow2_colscale(blk)
         bh, bl = _split_dev(blk / cs[None, :])  # exact division
-        Bhi, Blo = _dress_block(Bhi, Blo, uh, ul, sh, sl, bh, bl,
-                                jnp.asarray(cs, dtype=jnp.float32),
-                                jnp.int32(off), nnull=_nnull(w),
-                                tile=tile)
-    return Bhi.reshape(naux, nao, nao), Blo.reshape(naux, nao, nao)
+        args = (uh, ul, sh, sl, bh, bl,
+                jnp.asarray(cs, dtype=jnp.float32), jnp.int32(off))
+        if keep_lo:
+            Bhi, Blo = _dress_block(Bhi, Blo, *args, nnull=_nnull(w),
+                                    tile=tile)
+        else:
+            Bhi = _dress_block_hi(Bhi, *args, nnull=_nnull(w), tile=tile)
+        # throttle: without this the Python loop enqueues every block's
+        # h2d transfer at once and the remote backend's staging arena
+        # exhausts (measured: RESOURCE_EXHAUSTED at ~20 GB of in-flight
+        # transfers on the tunneled chip, with HBM itself fine)
+        jax.block_until_ready(Bhi)
+    Bhi = Bhi.reshape(naux, nao, nao)
+    return Bhi, (Blo.reshape(naux, nao, nao) if keep_lo else None)
 
 
 @functools.partial(jax.jit, static_argnames=("tile",))
@@ -182,6 +208,7 @@ def build_bov_device(metric_eig, j3c: np.ndarray,
         q = min(aux_chunk, naux - off)
         bh, bl = _split_dev(j3c[off:off + q])
         Thi, Tlo = _acc(Thi, Tlo, bh, bl, jnp.int32(off))
+        jax.block_until_ready(Thi)  # bound in-flight h2d (see build_b_device)
         off += q
     uh, ul = _split_dev(U)
     sh, sl = _split_dev(1.0 / np.sqrt(w))

@@ -189,6 +189,10 @@ class SCF:
 
     def _rho_pair(self, da, db):
         ao = self.env.ao
+        if self.xc is not None and self.xc.needs_tau:
+            ra, ga, ta = xci.cache_rho(ao, jnp.asarray(da), tau=True)
+            rb, gb, tb = xci.cache_rho(ao, jnp.asarray(db), tau=True)
+            return (ra, rb, ga, gb, ta, tb)
         ra, ga = xci.cache_rho(ao, jnp.asarray(da))
         rb, gb = xci.cache_rho(ao, jnp.asarray(db))
         return (ra, rb, ga, gb)

@@ -132,7 +132,9 @@ def _jk_refined(Bhi, Blo, Cahi, Calo, Cbhi, Cblo, aux_chunk=256, tile=512):
     def chunk_contrib(Bc_hi, Bc_lo, Chi, Clo):
         """K partial from one aux chunk: compensated T then T T^T."""
         m = Bc_hi.shape[0] * nao
-        Thi, Tlo = ts_matmul(Bc_hi.reshape(m, nao), Bc_lo.reshape(m, nao),
+        Thi, Tlo = ts_matmul(Bc_hi.reshape(m, nao),
+                             Bc_lo.reshape(m, nao) if Bc_lo is not None
+                             else None,
                              Chi, Clo, tile=tile)
         nocc = Chi.shape[1]
         ch = Bc_hi.shape[0]
@@ -149,17 +151,19 @@ def _jk_refined(Bhi, Blo, Cahi, Calo, Cbhi, Cblo, aux_chunk=256, tile=512):
         the tiles here are deliberately small."""
         ch = Bc_hi.shape[0]
         b2h = Bc_hi.reshape(ch, nao * nao)
-        b2l = Bc_lo.reshape(ch, nao * nao)
+        b2l = Bc_lo.reshape(ch, nao * nao) if Bc_lo is not None else None
         thi, tlo = ts_matmul(b2h, b2l, Dhi.reshape(-1, 1), Dlo.reshape(-1, 1),
                              tile=512)
-        jhi, jlo = ts_matmul(b2h.T, b2l.T, thi, tlo, tile=64)
+        jhi, jlo = ts_matmul(b2h.T, b2l.T if b2l is not None else None,
+                             thi, tlo, tile=64)
         return jhi.reshape(nao, nao), jlo.reshape(nao, nao)
 
     def body(i, carry):
         (jh, jl, kah, kal, kbh, kbl) = carry
         off = i * aux_chunk
         Bc_hi = jax.lax.dynamic_slice_in_dim(Bhi, off, aux_chunk, 0)
-        Bc_lo = jax.lax.dynamic_slice_in_dim(Blo, off, aux_chunk, 0)
+        Bc_lo = (jax.lax.dynamic_slice_in_dim(Blo, off, aux_chunk, 0)
+                 if Blo is not None else None)
         pjh, pjl = j_contrib(Bc_hi, Bc_lo)
         jh, e = two_sum(jh, pjh)
         jl = jl + e + pjl
@@ -178,7 +182,8 @@ def _jk_refined(Bhi, Blo, Cahi, Calo, Cbhi, Cblo, aux_chunk=256, tile=512):
     if rem:
         (jh, jl, kah, kal, kbh, kbl) = carry
         Bc_hi = jax.lax.slice_in_dim(Bhi, nc * aux_chunk, naux, axis=0)
-        Bc_lo = jax.lax.slice_in_dim(Blo, nc * aux_chunk, naux, axis=0)
+        Bc_lo = (jax.lax.slice_in_dim(Blo, nc * aux_chunk, naux, axis=0)
+                 if Blo is not None else None)
         pjh, pjl = j_contrib(Bc_hi, Bc_lo)
         jh, e = two_sum(jh, pjh)
         jl = jl + e + pjl
@@ -244,17 +249,30 @@ class DeviceVeff:
     (the d2h link is ~5 MB/s — nothing larger than nao^2 ever crosses it).
     """
 
-    def __init__(self, env, spec, aux_chunk: int = 256, verbose: int = 0):
+    def __init__(self, env, spec, aux_chunk: int = 256, verbose: int = 0,
+                 keep_b_lo: bool | None = None):
         from xtddft_tpu.scf.df_build import build_b_device
 
         self.env = env
         self.spec = spec
         self.aux_chunk = aux_chunk
+        if spec is not None and getattr(spec, "needs_tau", False):
+            raise NotImplementedError(
+                "engine='device' quadrature has no tau channel yet (MGGA); "
+                "use the host engine")
         # metric dressing happens ON the chip (the 1e16-flop matmul the
         # host cannot afford at production sizes): raw j3c streams over,
-        # B lives only as the device hi/lo pair
+        # B lives only as the device hi/lo pair.  Above ~3 GB per half
+        # the lo half is dropped (HBM budget; refined J/K then carries
+        # B's f32 representation error ~6e-8 — still ~1e-7 Fock quality,
+        # see build_b_device docstring).
+        naux_b = env.aux_layout.nao
+        b_half_bytes = naux_b * env.nao * env.nao * 4
+        if keep_b_lo is None:
+            keep_b_lo = b_half_bytes < 3e9
         self.Bhi, self.Blo = build_b_device(env.df_metric_eig_host(0.0),
-                                            env.df_j3c_host(0.0))
+                                            env.df_j3c_host(0.0),
+                                            keep_lo=keep_b_lo)
         self.hyb = spec.hyb if spec is not None else 1.0
         self.alpha = spec.alpha if spec is not None else 1.0
         self.omega = spec.omega if spec is not None else 0.0
@@ -276,7 +294,15 @@ class DeviceVeff:
 
             grid = env.grid
             ao = eval_ao(env.layout, grid.coords, deriv=1)
-            self.phi = jnp.asarray(np.asarray(ao, dtype=np.float32))
+            # ship per derivative component, synchronously: one multi-GB
+            # device_put can exhaust the remote backend's transfer arena
+            # right after the (already transfer-heavy) B dressing
+            comps = []
+            for x in range(4):
+                c = jnp.asarray(np.asarray(ao[x], dtype=np.float32))
+                jax.block_until_ready(c)
+                comps.append(c)
+            self.phi = jnp.stack(comps)
             self.w32 = jnp.asarray(np.asarray(grid.weights, dtype=np.float32))
             self.w64 = np.asarray(grid.weights, dtype=np.float64)
 

@@ -261,9 +261,14 @@ def _build_fulljit_solver(matvec_raw, dim, nb, max_space, tol, max_cycle,
             return V, AV, ns + nb
 
         def ritz(V, AV):
+          # subspace algebra dtype: f32 for f32/bf16 operators (f64 eigh is
+          # emulated on TPU), but FULL f64 for f64 operators (CPU backend)
+          # — an f32 pencil leaves Ritz-rotation error ~1e-6, exactly at
+          # the f64 residual tolerance, so convergence would stall
+          sub = jnp.float64 if dtype == jnp.float64 else jnp.float32
           with jax.default_matmul_precision("highest"):
-            H = (V @ AV.T).astype(jnp.float32)
-            S = (V @ V.T).astype(jnp.float32)
+            H = (V @ AV.T).astype(sub)
+            S = (V @ V.T).astype(sub)
             H = 0.5 * (H + H.T)
             S = 0.5 * (S + S.T)
             ws, Us = jnp.linalg.eigh(S)
@@ -317,7 +322,9 @@ def _build_fulljit_solver(matvec_raw, dim, nb, max_space, tol, max_cycle,
             # solver/davidson.py for the semantics rationale)
             rnorm = jnp.sqrt(jnp.maximum(rnorm2, 0.0))
             conv = rnorm < tol
-            rmax = jnp.max(jnp.where(conv, 0.0, rnorm))
+            # stall tracking in f32 regardless of operator dtype (the carry
+            # slot is fixed f32; progress ratios don't need f64)
+            rmax = jnp.max(jnp.where(conv, 0.0, rnorm)).astype(jnp.float32)
             stall = jnp.where(
                 jnp.all(conv) | (rmax < 0.98 * rmax_prev), 0, stall + 1
             )
@@ -358,7 +365,7 @@ def davidson_fulljit(
     hdiag,
     nroots: int = 5,
     init_guess=None,
-    tol: float = 3e-4,
+    tol: float | None = 3e-4,
     max_cycle: int = 60,
     max_space_factor: int = 12,
     pick_positive: bool = False,
@@ -372,6 +379,8 @@ def davidson_fulljit(
     (shifted) invalid directions.
 
     matvec_raw(consts, z): pure sigma build with all tensors as arguments.
+    tol=None picks a dtype-aware default (f32 residuals floor near 1e-4;
+    same rule as davidson_device).
     Returns (e (nroots,), v (dim, nroots), conv (nroots,)) as numpy; with
     return_info, appends a dict with the cycle count.
     """
@@ -388,13 +397,15 @@ def davidson_fulljit(
     max_space = min(dim, max(nb, nb * max_space_factor))
     max_space = max(nb, nb * (max_space // nb))
 
+    # probe dtype with one matvec (also the compile warm-up for matvec)
+    X0 = jnp.asarray(init_guess)
+    probe = matvec_raw(consts, X0)
+    if tol is None:
+        tol = 1e-6 if probe.dtype == jnp.float64 else 3e-4
     _solve = _get_fulljit_solver(
         matvec_raw, dim, nb, max_space, float(tol), int(max_cycle),
         bool(pick_positive), float(pos_threshold),
     )
-    # probe dtype with one matvec (also the compile warm-up for matvec)
-    X0 = jnp.asarray(init_guess)
-    probe = matvec_raw(consts, X0)
     X0 = X0.astype(probe.dtype)
     hdiag_d = jnp.asarray(hdiag_np, dtype=probe.dtype)
     fill = jnp.asarray(rng.normal(size=(nb, dim)), dtype=probe.dtype)

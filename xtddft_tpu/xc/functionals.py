@@ -261,6 +261,112 @@ def pbe_c(ra, rb, gaa, gab, gbb):
     return rho * (eps + H)
 
 
+# ---------------------------------------------------------------- meta-GGA
+#
+# MGGA energy densities take two extra arguments (ta, tb): the spin
+# kinetic-energy densities tau_sigma = 1/2 sum_i |grad phi_i_sigma|^2.
+# The reference's TDA/UTDA fxc loops carry MGGA branches through libxc
+# (`xtddft/TDA.py:107-168`, `UTDA.py:169-265`; `XTDA.py:242`'s branch is
+# broken upstream); here TPSS is one more autodiff energy density.
+#
+# TPSS: Tao, Perdew, Staroverov, Scuseria, PRL 91, 146401 (2003); the
+# x(p, z) expression and constants follow eqs. (5)-(12) and the revPKZB
+# correlation eqs. (11)-(14) of the companion JCP 120, 6898 (2004).
+
+_TPSS_KAPPA = 0.804
+_TPSS_C = 1.59096
+_TPSS_E = 1.537
+_TPSS_B = 0.40
+_TPSS_MU = 0.21951
+_TPSS_D = 2.8
+
+
+def _tpss_fx(rho, gamma, tau):
+    """TPSS exchange enhancement factor for one spin-unpolarized density."""
+    rho = _safe_rho(rho)
+    gamma = jnp.maximum(gamma, 0.0)
+    kf2 = (3.0 * jnp.pi**2 * rho) ** (2.0 / 3.0)
+    p = gamma / (4.0 * kf2 * rho**2)
+    tau_w = gamma / (8.0 * rho)
+    tau_u = 0.3 * kf2 * rho
+    tau = jnp.maximum(tau, tau_w + 1e-30)  # z <= 1, alpha >= 0 by physics
+    z = tau_w / tau
+    alpha = (tau - tau_w) / jnp.maximum(tau_u, 1e-30)
+    qb = 0.45 * (alpha - 1.0) / jnp.sqrt(
+        1.0 + _TPSS_B * alpha * (alpha - 1.0)
+    ) + 2.0 * p / 3.0
+    z2 = z * z
+    t1 = (10.0 / 81.0 + _TPSS_C * z2 / (1.0 + z2) ** 2) * p
+    t2 = (146.0 / 2025.0) * qb * qb
+    # the 1e-60 floor keeps the sqrt's autodiff finite at p=z=0 (uniform
+    # gas / sanitized dummy points): d sqrt(q)/dp = p/sqrt(q) -> 0/0 NaN
+    # without it, and 0-weighted NaNs still poison jax.grad sums
+    t3 = -(73.0 / 405.0) * qb * jnp.sqrt(
+        0.5 * (0.6 * z) ** 2 + 0.5 * p * p + 1e-60
+    )
+    t4 = (1.0 / _TPSS_KAPPA) * (10.0 / 81.0) ** 2 * p * p
+    t5 = 2.0 * jnp.sqrt(_TPSS_E) * (10.0 / 81.0) * (0.6 * z) ** 2
+    t6 = _TPSS_E * _TPSS_MU * p**3
+    x = (t1 + t2 + t3 + t4 + t5 + t6) / (1.0 + jnp.sqrt(_TPSS_E) * p) ** 2
+    return 1.0 + _TPSS_KAPPA - _TPSS_KAPPA / (1.0 + x / _TPSS_KAPPA)
+
+
+def _lda_x_density(rho):
+    """Spin-unpolarized LDA exchange energy density (per volume)."""
+    return -(3.0 / 4.0) * (3.0 / jnp.pi) ** (1.0 / 3.0) * rho ** (4.0 / 3.0)
+
+
+def tpss_x(ra, rb, gaa, gab, gbb, ta, tb):
+    """TPSS exchange via the exact spin-scaling
+    E_x[ra, rb] = (E_x[2 ra] + E_x[2 rb]) / 2."""
+    out = 0.0
+    for r, g, t in ((ra, gaa, ta), (rb, gbb, tb)):
+        r2, g2, t2 = 2.0 * r, 4.0 * g, 2.0 * t
+        out = out + 0.5 * _lda_x_density(_safe_rho(r2)) * _tpss_fx(r2, g2, t2)
+    return out
+
+
+def _pbe_eps(ra, rb, gaa, gab, gbb):
+    """PBE correlation energy PER PARTICLE."""
+    return pbe_c(ra, rb, gaa, gab, gbb) / _safe_rho(ra + rb)
+
+
+def tpss_c(ra, rb, gaa, gab, gbb, ta, tb):
+    """TPSS (revPKZB-based) correlation energy density."""
+    ra = _safe_rho(ra)
+    rb = _safe_rho(rb)
+    rho = ra + rb
+    tau = jnp.maximum(ta + tb, 1e-30)
+    gtot = jnp.maximum(gaa + 2.0 * gab + gbb, 0.0)
+    tau_w = gtot / (8.0 * rho)
+    z = jnp.clip(tau_w / jnp.maximum(tau, tau_w + 1e-30), 0.0, 1.0)
+    zeta = jnp.clip((ra - rb) / rho, -1.0 + 1e-12, 1.0 - 1e-12)
+    # xi = |grad zeta| / (2 (3 pi^2 rho)^(1/3)); |grad zeta|^2 expressed
+    # through the spin gammas: grad zeta = (rb*ga - ra*gb) * 2 / rho^2
+    gz2 = jnp.maximum(
+        4.0 * (rb * rb * gaa - 2.0 * ra * rb * gab + ra * ra * gbb)
+        / rho**4,
+        0.0,
+    )
+    xi2 = gz2 / (4.0 * (3.0 * jnp.pi**2 * rho) ** (2.0 / 3.0))
+    up = jnp.maximum(1.0 + zeta, 1e-12)
+    dn = jnp.maximum(1.0 - zeta, 1e-12)
+    Cnum = 0.53 + 0.87 * zeta**2 + 0.50 * zeta**4 + 2.26 * zeta**6
+    Cden = (1.0 + 0.5 * xi2 * (up ** (-4.0 / 3.0) + dn ** (-4.0 / 3.0))) ** 4
+    C = Cnum / Cden
+    eps = _pbe_eps(ra, rb, gaa, gab, gbb)
+    # per-spin fully-polarized PBE epsilons, bounded below by eps
+    eps_a = jnp.maximum(_pbe_eps(ra, 1e-15, gaa, 0.0, 0.0), eps)
+    eps_b = jnp.maximum(_pbe_eps(rb, 1e-15, gbb, 0.0, 0.0), eps)
+    z2 = z * z
+    eps_rev = eps * (1.0 + C * z2) - (1.0 + C) * z2 * (
+        (ra / rho) * eps_a + (rb / rho) * eps_b
+    )
+    return rho * eps_rev * (1.0 + _TPSS_D * eps_rev * z2 * z)
+
+
+MGGA_NAMES = frozenset({"tpss_x", "tpss_c"})
+
 FUNCTIONALS = {
     "slater": slater_x,
     "b88": b88_x,
@@ -274,4 +380,7 @@ FUNCTIONALS = {
     "pbe_c": pbe_c,
     # fixed-omega short-range exchange components for RSH composites
     "b88_sr@0.33": make_b88_sr(0.33),
+    # meta-GGA (signature carries the extra (ta, tb) tau arguments)
+    "tpss_x": tpss_x,
+    "tpss_c": tpss_c,
 }

@@ -28,26 +28,34 @@ MASK_RHO = 1e-11
 
 
 def exc_density_fn(spec: XCSpec):
-    """Return e(ra, rb, ga, gb) -> (ng,) energy density."""
-    comps = [(w, fl.FUNCTIONALS[name]) for w, name in spec.components]
+    """Return e(ra, rb, ga, gb[, ta, tb]) -> (ng,) energy density.
 
-    def e(ra, rb, ga, gb):
+    MGGA specs take the two extra spin kinetic-energy-density arguments;
+    any plain LDA/GGA components mixed into an MGGA composite simply
+    ignore them."""
+    comps = [(w, name, fl.FUNCTIONALS[name]) for w, name in spec.components]
+
+    def e(ra, rb, ga, gb, *taus):
         gaa = jnp.einsum("xg,xg->g", ga, ga)
         gab = jnp.einsum("xg,xg->g", ga, gb)
         gbb = jnp.einsum("xg,xg->g", gb, gb)
         out = jnp.zeros_like(ra)
-        for w, f in comps:
-            out = out + w * f(ra, rb, gaa, gab, gbb)
+        for w, name, f in comps:
+            if name in fl.MGGA_NAMES:
+                out = out + w * f(ra, rb, gaa, gab, gbb, *taus)
+            else:
+                out = out + w * f(ra, rb, gaa, gab, gbb)
         return out
 
     return e
 
 
-def cache_rho(ao, dm, hermi: bool = True):
+def cache_rho(ao, dm, hermi: bool = True, tau: bool = False):
     """Density and gradient on the grid from AO values.
 
     ao: (4, ng, nao) [value, ddx, ddy, ddz]; dm: (nao, nao).
-    Returns (rho (ng,), grho (3, ng)).
+    Returns (rho (ng,), grho (3, ng)); with ``tau``, appends the
+    kinetic-energy density 1/2 sum_x (grad phi) dm (grad phi).
     """
     rho = jnp.einsum("gi,ij,gj->g", ao[0], dm, ao[0])
     g1 = jnp.einsum("xgi,ij,gj->xg", ao[1:4], dm, ao[0])
@@ -55,22 +63,30 @@ def cache_rho(ao, dm, hermi: bool = True):
         grho = 2.0 * g1
     else:
         grho = g1 + jnp.einsum("gi,ij,xgj->xg", ao[0], dm, ao[1:4])
-    return rho, grho
+    if not tau:
+        return rho, grho
+    t = 0.5 * jnp.einsum("xgi,ij,xgj->g", ao[1:4], dm, ao[1:4])
+    return rho, grho, t
 
 
 def _sanitize(weights, rho):
     """Zero the quadrature weight AND replace the density by a benign value
     on negligible-density points.  Masking only the weights is not enough:
     autodiff of (0 * inf) produces NaN, so the functional must never see
-    pathological inputs."""
-    ra, rb, ga, gb = rho
+    pathological inputs.  Accepts 4-tuples (LDA/GGA) and 6-tuples
+    (..., ta, tb) for MGGA."""
+    ra, rb, ga, gb, *taus = rho
     mask = (ra > MASK_RHO) | (rb > MASK_RHO)
     w = jnp.where(mask, weights, 0.0)
     ra_s = jnp.where(mask, ra, 1.0)
     rb_s = jnp.where(mask, rb, 1.0)
     ga_s = jnp.where(mask[None, :], ga, 0.0)
     gb_s = jnp.where(mask[None, :], gb, 0.0)
-    return w, (ra_s, rb_s, ga_s, gb_s), mask
+    out = (ra_s, rb_s, ga_s, gb_s)
+    if taus:
+        # benign tau on masked points: with g=0 any tau>0 gives z=0
+        out = out + tuple(jnp.where(mask, t, 1.0) for t in taus)
+    return w, out, mask
 
 
 def eval_exc(spec: XCSpec, weights, rho):
@@ -81,29 +97,41 @@ def eval_exc(spec: XCSpec, weights, rho):
 
 def eval_vxc(spec: XCSpec, weights, rho):
     """Weighted potential derivatives (w * vrho_a, w * vrho_b, w * wvec_a,
-    w * wvec_b) where wvec = dE/d(grad rho) = 2 vgaa*ga + vgab*gb."""
+    w * wvec_b[, w * vtau_a, w * vtau_b]) where wvec = dE/d(grad rho) =
+    2 vgaa*ga + vgab*gb.  The tau derivatives appear for MGGA specs
+    (6-entry rho)."""
     w, rho_s, _ = _sanitize(weights, rho)
     efn = exc_density_fn(spec)
 
-    def total(ra_, rb_, ga_, gb_):
-        return jnp.sum(w * efn(ra_, rb_, ga_, gb_))
+    def total(*args):
+        return jnp.sum(w * efn(*args))
 
-    return jax.grad(total, argnums=(0, 1, 2, 3))(*rho_s)
+    return jax.grad(total, argnums=tuple(range(len(rho_s))))(*rho_s)
 
 
-def _contract_vmat(ao, wv, wvec):
-    """V_mu_nu = sum_g [wv phi phi + wvec . (grad(phi) phi + phi grad(phi))]."""
+def _contract_vmat(ao, wv, wvec, wtau=None):
+    """V_mu_nu = sum_g [wv phi phi + wvec . (grad(phi) phi + phi grad(phi))
+    + wtau/2 grad(phi).grad(phi)] (the tau term for MGGA)."""
     A = jnp.einsum("g,gi,gj->ij", wv, ao[0], ao[0])
     B = jnp.einsum("xg,xgi,gj->ij", wvec, ao[1:4], ao[0])
-    return A + B + B.T
+    out = A + B + B.T
+    if wtau is not None:
+        out = out + 0.5 * jnp.einsum("g,xgi,xgj->ij", wtau, ao[1:4], ao[1:4])
+    return out
 
 
 def vxc_matrices(spec: XCSpec, ao, weights, rho):
     """(Exc, Va, Vb) for the SCF Fock build."""
-    wva, wvb, wga, wgb = eval_vxc(spec, weights, rho)
+    dv = eval_vxc(spec, weights, rho)
     exc = eval_exc(spec, weights, rho)
-    Va = _contract_vmat(ao, wva, wga)
-    Vb = _contract_vmat(ao, wvb, wgb)
+    if len(dv) == 6:
+        wva, wvb, wga, wgb, wta, wtb = dv
+        Va = _contract_vmat(ao, wva, wga, wta)
+        Vb = _contract_vmat(ao, wvb, wgb, wtb)
+    else:
+        wva, wvb, wga, wgb = dv
+        Va = _contract_vmat(ao, wva, wga)
+        Vb = _contract_vmat(ao, wvb, wgb)
     return exc, Va, Vb
 
 
@@ -123,12 +151,15 @@ def fxc_response(spec: XCSpec, weights, rho0):
         return jax.grad(total)(args)
 
     def respond(drho):
-        dra, drb, dga, dgb = drho
+        dra, drb, dga, dgb, *dtaus = drho
         dra = jnp.where(mask, dra, 0.0)
         drb = jnp.where(mask, drb, 0.0)
         dga = jnp.where(mask[None, :], dga, 0.0)
         dgb = jnp.where(mask[None, :], dgb, 0.0)
-        _, dv = jax.jvp(vfun, (rho_s,), ((dra, drb, dga, dgb),))
+        dr = (dra, drb, dga, dgb) + tuple(
+            jnp.where(mask, dt, 0.0) for dt in dtaus
+        )
+        _, dv = jax.jvp(vfun, (rho_s,), (dr,))
         return dv
 
     return respond
@@ -141,11 +172,19 @@ def fxc_v1mat(spec: XCSpec, ao, weights, rho0, dm1s, hermi: bool = True):
     Returns (nset, 2, nao, nao).
     """
     respond = fxc_response(spec, weights, rho0)
+    mgga = len(rho0) == 6
 
     def one(dm1):
-        dra, dga = cache_rho(ao, dm1[0], hermi=hermi)
-        drb, dgb = cache_rho(ao, dm1[1], hermi=hermi)
-        dwva, dwvb, dwga, dwgb = respond((dra, drb, dga, dgb))
+        da = cache_rho(ao, dm1[0], hermi=hermi, tau=mgga)
+        db = cache_rho(ao, dm1[1], hermi=hermi, tau=mgga)
+        if mgga:
+            dv = respond((da[0], db[0], da[1], db[1], da[2], db[2]))
+            dwva, dwvb, dwga, dwgb, dwta, dwtb = dv
+            return jnp.stack([
+                _contract_vmat(ao, dwva, dwga, dwta),
+                _contract_vmat(ao, dwvb, dwgb, dwtb),
+            ])
+        dwva, dwvb, dwga, dwgb = respond((da[0], db[0], da[1], db[1]))
         return jnp.stack(
             [_contract_vmat(ao, dwva, dwga), _contract_vmat(ao, dwvb, dwgb)]
         )
@@ -185,7 +224,10 @@ def sf_kernel_alda0(spec: XCSpec, weights, rho0):
     with vxc evaluated in the LDA limit (gradients zeroed for GGA), exactly
     as the reference (`xtddft/SF_TDA.py:39-88`).
     """
-    ra, rb, ga, gb = rho0
+    if spec.needs_tau:
+        raise NotImplementedError(
+            "spin-flip kernels are not defined for MGGA functionals here")
+    ra, rb, ga, gb = rho0[:4]
     w, (ra_s, rb_s, _, _), _ = _sanitize(weights, rho0)
     efn = exc_density_fn(spec)
     zg = jnp.zeros_like(ga)

@@ -30,6 +30,10 @@ class XCSpec:
     def is_hybrid(self) -> bool:
         return abs(self.hyb) > 1e-12 or abs(self.alpha) > 1e-12
 
+    @property
+    def needs_tau(self) -> bool:
+        return self.xc_type == "mgga"
+
 
 _REGISTRY: dict[str, XCSpec] = {}
 
@@ -79,6 +83,10 @@ _reg(
     alpha=0.65,
     omega=0.33,
 )
+# meta-GGA (tau-dependent): TPSS and the 10%-exchange TPSSh hybrid
+_reg("tpss", [(1.0, "tpss_x"), (1.0, "tpss_c")], xc_type="mgga")
+_reg("tpssh", [(0.90, "tpss_x"), (1.0, "tpss_c")], hyb=0.10,
+     xc_type="mgga")
 
 
 def resolve(name: str) -> XCSpec:
