@@ -92,3 +92,26 @@ def test_deriv_eri_fd():
         vals.append(eri_full(lay2)[0, 1, 1, 1])
     fd = (vals[0] - vals[1]) / (2 * h)  # d/dA_x
     assert val == pytest.approx(-fd, abs=1e-6)
+
+
+def test_fso2e_direct_matches_full():
+    """Memory-adaptive streaming fso2e (`somf.fso2e_direct`, the
+    reference's 'direct' impl `sfX2C_soDKH1.py:65-141`) is bit-identical
+    to contracting the materialized K tensor."""
+    import numpy as np
+
+    from xtddft_tpu.chem import Molecule
+    from xtddft_tpu.scf import ROKS
+    from xtddft_tpu.soc.somf import build_vso, resolve_mf2e_impl
+
+    mol = Molecule.from_atoms("O 0 0 0; H 0 0 0.97", basis="sto-3g", spin=1)
+    mf = ROKS(mol, xc="hf").kernel()
+    vf = build_vso(mf, iop="bp", use_1c=False, mf2e_impl="full")
+    vd = build_vso(mf, iop="bp", use_1c=False, mf2e_impl="direct")
+    assert np.abs(vf.fso2e - vd.fso2e).max() < 1e-12
+    vf = build_vso(mf, iop="x2c", use_1c=True, mf2e_impl="full")
+    vd = build_vso(mf, iop="x2c", use_1c=True, mf2e_impl="direct")
+    assert np.abs(vf.vso - vd.vso).max() < 1e-12
+    assert resolve_mf2e_impl(10) == "full"
+    assert resolve_mf2e_impl(10_000) == "direct"  # 3*nao^4 ~ 2.4e17 B
+    assert resolve_mf2e_impl(10_000, "full") == "full"

@@ -89,21 +89,21 @@ def _deriv_pair_stack(sha: Shell, shb: Shell):
     return H, sps[0].p, sps[0].P, sps[0].L
 
 
-def kint(layout: BasisLayout, use_1c: bool = False) -> np.ndarray:
-    """SO two-electron tensor K_l[mu,nu,ka,la] = eps_{lij}
-    (d_i mu nu | d_j ka la), chemists' notation (`sfX2C_soDKH1.py:218-243`).
+def kint_blocks(layout: BasisLayout, use_1c: bool = False):
+    """Generator over spherical shell-quartet blocks of the SO 2e tensor.
 
-    The Hermite-Coulomb R tensor is built once per (bra-pair, ket-pair) and
-    shared across all nine derivative combinations; the quartet-swap
-    antisymmetry K[mu nu ka la] = -K[ka la mu nu] halves the pair loop.
-    With ``use_1c`` only AO quartets whose four shells share one atom are
-    evaluated (the one-center approximation, `get_fso2e_1c`:294)."""
+    Yields ``(sl_a, sl_b, sl_c, sl_d, t)`` with ``t`` of shape
+    (3, nA, nB, nC, nD) = K_l[A, B, C, D].  Each unordered
+    (bra-pair, ket-pair) combination is yielded once; the quartet-swap
+    mirror K[cd,ab] = -K[ab,cd] is yielded as a second explicit block so
+    consumers accumulate single-path.  This is the memory-adaptive core:
+    the streaming fso2e contraction (`soc/somf.py:fso2e_direct`) never
+    materializes the 3*nao^4 tensor (the reference's 'direct'/'block-par'
+    impls, `sfX2C_soDKH1.py:65-141`)."""
     from xtddft_tpu.ints.two_electron import _comb_index, _herm_sign
 
     shells = layout.shells
-    nao = layout.nao
     nsh = len(shells)
-    out = np.zeros((3, nao, nao, nao, nao))
 
     def sl(sh: Shell):
         return slice(sh.ao_offset, sh.ao_offset + sh.nao)
@@ -146,17 +146,29 @@ def kint(layout: BasisLayout, use_1c: bool = False) -> np.ndarray:
             so = np.einsum("lde,deab->lab", _EPS, blocks)
             la_, lb2 = shells[ib].l, shells[jb].l
             lc_, ld_ = shells[kb].l, shells[lb_].l
-            for l_ in range(3):
-                t = _sph4(
-                    so[l_].reshape(-1),
-                    la_, lb2, lc_, ld_,
-                )
-                out[l_, sl(shells[ib]), sl(shells[jb]),
-                    sl(shells[kb]), sl(shells[lb_])] = t
-                if (kb, lb_) != (ib, jb):
-                    # K[ab,cd] = -K[cd,ab]
-                    out[l_, sl(shells[kb]), sl(shells[lb_]),
-                        sl(shells[ib]), sl(shells[jb])] = -np.transpose(
-                        t, (2, 3, 0, 1)
-                    )
+            t = np.stack([
+                _sph4(so[l_].reshape(-1), la_, lb2, lc_, ld_)
+                for l_ in range(3)
+            ])
+            yield (sl(shells[ib]), sl(shells[jb]), sl(shells[kb]),
+                   sl(shells[lb_]), t)
+            if (kb, lb_) != (ib, jb):
+                # K[ab,cd] = -K[cd,ab]
+                yield (sl(shells[kb]), sl(shells[lb_]), sl(shells[ib]),
+                       sl(shells[jb]), -np.transpose(t, (0, 3, 4, 1, 2)))
+
+
+def kint(layout: BasisLayout, use_1c: bool = False) -> np.ndarray:
+    """SO two-electron tensor K_l[mu,nu,ka,la] = eps_{lij}
+    (d_i mu nu | d_j ka la), chemists' notation (`sfX2C_soDKH1.py:218-243`).
+
+    The Hermite-Coulomb R tensor is built once per (bra-pair, ket-pair) and
+    shared across all nine derivative combinations; the quartet-swap
+    antisymmetry K[mu nu ka la] = -K[ka la mu nu] halves the pair loop.
+    With ``use_1c`` only AO quartets whose four shells share one atom are
+    evaluated (the one-center approximation, `get_fso2e_1c`:294)."""
+    nao = layout.nao
+    out = np.zeros((3, nao, nao, nao, nao))
+    for sa, sb, sc, sd, t in kint_blocks(layout, use_1c=use_1c):
+        out[:, sa, sb, sc, sd] = t
     return out

@@ -15,6 +15,7 @@ Breit-Pauli limit (X=R+=1).
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 
@@ -57,6 +58,65 @@ def fso2e_contract(kint, x, rp, pLL, pLS, pSS):
     return out
 
 
+def fso2e_direct(layout, x, rp, pLL, pLS, pSS, use_1c: bool = True):
+    """Streaming fso2e: identical result to
+    ``fso2e_contract(soc_ints.kint(...), ...)`` but the Gso matrices are
+    accumulated per shell-quartet block from `soc_ints.kint_blocks` —
+    peak memory O(nao^2) instead of the 3*nao^4 tensor.  This is the
+    TPU-native analog of the reference's 'direct'/'block-par' impls
+    (`sfX2C_soDKH1.py:65-141`, chosen there by a psutil memory probe)."""
+    from xtddft_tpu.ints import soc_ints
+
+    nb = x.shape[0]
+    gsoLL = np.zeros((3, nb, nb))
+    gsoLS = np.zeros((3, nb, nb))
+    gsoSS = np.zeros((3, nb, nb))
+    for sa, sb, sc, sd, t in soc_ints.kint_blocks(layout, use_1c=use_1c):
+        # index order of t is K_l[a, b, c, d]; each term below maps the
+        # einsum strings of fso2e_contract onto the block slices
+        gsoLL[:, sb, sd] += -2.0 * np.einsum(
+            "labcd,ac->lbd", t, pSS[sa, sc])           # "lmkn,lk->mn"
+        gsoLS[:, sa, sd] += -np.einsum(
+            "labcd,bc->lad", t, pLS[sb, sc])           # "mlkn,lk->mn"
+        gsoLS[:, sb, sd] += -np.einsum(
+            "labcd,ac->lbd", t, pLS[sa, sc])           # "lmkn,lk->mn"
+        gsoSS[:, sa, sb] += -2.0 * np.einsum(
+            "labcd,dc->lab", t, pLL[sd, sc])           # "mnkl,lk->mn"
+        gsoSS[:, sa, sb] += -2.0 * np.einsum(
+            "labcd,cd->lab", t, pLL[sc, sd])           # "mnlk,lk->mn"
+        gsoSS[:, sa, sc] += 2.0 * np.einsum(
+            "labcd,bd->lac", t, pLL[sb, sd])           # "mlnk,lk->mn"
+    out = np.zeros((3, nb, nb))
+    for ic in range(3):
+        f = (gsoLL[ic] + gsoLS[ic] @ x + x.T @ (-gsoLS[ic].T)
+             + x.T @ (gsoSS[ic] @ x))
+        out[ic] = rp.T @ f @ rp
+    return out
+
+
+def _available_memory_bytes() -> int | None:
+    try:
+        return os.sysconf("SC_AVPHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+    except (AttributeError, OSError, ValueError):
+        return None
+
+
+def resolve_mf2e_impl(nao: int, impl: str = "auto") -> str:
+    """'full' (materialize the 3*nao^4 K tensor; fastest contraction) or
+    'direct' (streaming, O(nao^2) accumulators) — chosen by a memory
+    probe when 'auto', mirroring `sfX2C_soDKH1.py:119-141`."""
+    if impl != "auto":
+        if impl not in ("full", "direct"):
+            raise ValueError(f"mf2e_impl={impl!r} not in "
+                             "('auto', 'full', 'direct')")
+        return impl
+    need = 3 * nao**4 * 8 * 1.25  # K tensor + contraction temporaries
+    avail = _available_memory_bytes()
+    if avail is None or need < 0.5 * avail:
+        return "full"
+    return "direct"
+
+
 @dataclasses.dataclass
 class VsoResult:
     vso: np.ndarray  # (3, nao, nao) in the contracted AO basis
@@ -67,9 +127,13 @@ class VsoResult:
 
 
 def build_vso(mf, iop: str = "x2c", include_mf2e: bool = True,
-              use_1c: bool = True, c: float = units.C_AU) -> VsoResult:
+              use_1c: bool = True, c: float = units.C_AU,
+              mf2e_impl: str = "auto") -> VsoResult:
     """AO-basis SOMF spin-orbit matrix Vso (3, nao, nao), antisymmetric per
-    component.  ``mf`` is a converged MeanField (any flavor)."""
+    component.  ``mf`` is a converged MeanField (any flavor).
+
+    mf2e_impl: 'auto' picks 'full' vs 'direct' (streaming) by a memory
+    probe against the 3*nao^4 K-tensor footprint (`resolve_mf2e_impl`)."""
     env = mf.env
     layout = env.layout
     unc, contr = x2c_mod.uncontract(layout)
@@ -99,8 +163,11 @@ def build_vso(mf, iop: str = "x2c", include_mf2e: bool = True,
     vso = a4 * hso1e.copy()
     fso2e = None
     if include_mf2e:
-        kint = soc_ints.kint(unc, use_1c=use_1c)
-        fso2e = fso2e_contract(kint, x, rp, pLL, pLS, pSS)
+        if resolve_mf2e_impl(unc.nao, mf2e_impl) == "full":
+            kint = soc_ints.kint(unc, use_1c=use_1c)
+            fso2e = fso2e_contract(kint, x, rp, pLL, pLS, pSS)
+        else:
+            fso2e = fso2e_direct(unc, x, rp, pLL, pLS, pSS, use_1c=use_1c)
         vso += a4 * fso2e
     vso_contr = np.stack([contr.T @ vso[ic] @ contr for ic in range(3)])
     return VsoResult(vso=vso_contr, hso1e=hso1e, fso2e=fso2e, x=x, rp=rp)
