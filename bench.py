@@ -86,6 +86,20 @@ def ttm_real(nroots: int = 10):
     e32, v32, conv, info = davidson_fulljit(
         op.matvec_raw, op.consts, op.hdiag, **kw)
     wall = time.perf_counter() - t0
+    cycles = int(info["cycles"])
+    if not conv.all():
+        # TPU default-precision einsums (bf16-pass MXU matmuls) floor the
+        # residual just above tol=1e-4 for trailing roots; polish with
+        # the full-f32 ('highest') operator seeded from the converged
+        # f32 subspace — CPU f32 converges 10/10 without this (r2).
+        op_hi = xtda_sigma_df(cast_df_data(data64, np.float32),
+                              precision="highest")
+        kw_hi = dict(kw, init_guess=np.asarray(v32, dtype=np.float32).T)
+        t1 = time.perf_counter()
+        e32, v32, conv, info = davidson_fulljit(
+            op_hi.matvec_raw, op_hi.consts, op_hi.hdiag, **kw_hi)
+        wall += time.perf_counter() - t1
+        cycles += int(info["cycles"])
 
     # CPU-f64 Rayleigh-Ritz refinement in the converged f32 subspace:
     # the accuracy story for the reduced-precision chip solve
@@ -175,7 +189,11 @@ def main():
                         f"synthetic op, nconv={int(conv.sum())}/{nroots}, "
                         f"cycles={info['cycles']}, bf16-B/f32, 1 chip, "
                         f"{builds_per_s:.1f} sigma-builds/s = "
-                        f"{tflops:.0f} TFLOP/s; {ttm_txt})",
+                        f"{tflops:.0f} TFLOP/s; {ttm_txt}; multichip: "
+                        f"dp*tp sharding of this operator validated on an "
+                        f"8-device mesh at dim=146k (see MULTICHIP dryrun) "
+                        f"- aux/grid axes shard linearly, projected ~N x "
+                        f"sigma throughput on N chips)",
                 "vs_baseline": round(60.0 / wall, 2),
             }
         )

@@ -110,16 +110,34 @@ def test_ch2o_utda_b3lyp(ch2o_cation):
 
 
 def test_be_xsf_augccpvtz():
-    """`xtddft/XSF_TDA.py:1574` hardcoded Be reference line.  Loose gate:
-    the local aug-cc-pVTZ Be table is an approximate transcription."""
+    """Be XSF-TDA golden (`xtddft/XSF_TDA.py:1574` scenario).
+
+    The local aug-cc-pVTZ Be table is an approximate transcription
+    (zero-egress: the published table is unobtainable offline), so this
+    golden is pinned to 8 decimals on THIS basis from the f64 dense
+    path (gate 10 meV — regression-tight), while the deviation from the
+    reference's hardcoded anchor line is asserted as a separate bounded
+    basis-transcription delta (measured 0.149 eV max)."""
     mol = Molecule.from_atoms("Be 0 0 0", basis="aug-cc-pvtz", spin=2)
     mf = ROKS(mol, xc="bhandhlyp", grid_level=3).kernel()
     r = XSFTDA(mf, nstates=10).kernel()
+    e = r.e * units.HA2EV
+    own = np.array([
+        -2.56973318, 1.99570962, 2.09599853, 2.09776155, 3.70486163,
+        4.05152929, 4.07001792, 4.07045315, 4.15750166, 4.15993487,
+    ])
+    assert np.abs(e - own).max() < 0.01
+    # documented transcription delta vs `xtddft/XSF_TDA.py:1574`
     ref = np.array([
         -2.58159612, 1.94501967, 2.0441558, 2.04415705, 3.55556409,
         4.0395836, 4.07260624, 4.07260634, 4.09542032, 4.09542242,
     ])
-    assert np.abs(r.e * units.HA2EV - ref).max() < 0.2
+    assert np.abs(e - ref).max() < 0.2
+    # physical structure shared by both bases: the flip-down singlet
+    # ground state below the triplet reference, and the near-degenerate
+    # P-component pairs
+    assert e[0] < -2.0
+    assert abs(e[2] - e[3]) < 5e-3 and abs(e[8] - e[9]) < 5e-3
 
 
 def test_ch2o_sutda_b3lyp(ch2o_cation):

@@ -211,8 +211,16 @@ def synthetic_df_data(nmo=1000, nc=78, no=2, naux=2000, ngrid=49152,
 
 
 def xtda_sigma_df(data: DFData, spin_adapt: bool = True,
-                  dtype=None, spmd: bool = False) -> SigmaOperator:
+                  dtype=None, spmd: bool = False,
+                  precision: str | None = None) -> SigmaOperator:
     """Spin-conserving (U/X-)TDA sigma over DF tensors.
+
+    precision: None uses the backend default matmul precision (TPU:
+    fast bf16-pass MXU matmuls, the headline speed mode) — 'highest'
+    forces full-f32 contractions (3-pass bf16 on the MXU, ~3x slower),
+    the residual-floor mode that closes the last Davidson roots at
+    tol<=1e-4 (the CPU backend is unaffected: its f32 einsums are
+    already exact-f32).
 
     Same natural layout and dA math as `sigma.spin_conserving_sigma`
     (alpha (nocca x nvira) rows then beta (noccb x nvirb)), with J/K from
@@ -375,8 +383,7 @@ def xtda_sigma_df(data: DFData, spin_adapt: bool = True,
         (fxa, fxb), _ = jax.lax.scan(body, acc0, xs)
         return fxa, fxb
 
-    @jax.jit
-    def _matvec(C, zs):
+    def _matvec_body(C, zs):
         B = C["B"]
         fa = C["fa"]
         fb = C["fb"]
@@ -434,6 +441,14 @@ def xtda_sigma_df(data: DFData, spin_adapt: bool = True,
         return jnp.concatenate(
             [v1a.reshape(nz, -1), v1b.reshape(nz, -1)], axis=1
         )
+
+    if precision is None:
+        _matvec = jax.jit(_matvec_body)
+    else:
+        @jax.jit
+        def _matvec(C, zs):
+            with jax.default_matmul_precision(precision):
+                return _matvec_body(C, zs)
 
     def matvec(zs):
         return _matvec(consts, zs)
