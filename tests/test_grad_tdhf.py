@@ -14,7 +14,7 @@ from xtddft_tpu.chem import Molecule
 from xtddft_tpu.grad import fd_excited_gradient
 from xtddft_tpu.grad.lagrangian import ExcitedGradients
 from xtddft_tpu.methods.drivers import TDHF, UTDHF
-from xtddft_tpu.scf import RHF, RKS, UHF
+from xtddft_tpu.scf import RHF, RKS, ROHF, ROKS, UHF
 
 
 @pytest.fixture(scope="module")
@@ -78,6 +78,53 @@ def test_utdhf_gradient_vs_fd(oh_uhf):
     gf = fd_excited_gradient(oh_uhf, lambda mf: UTDHF(mf, nstates=1),
                              state=0, h=1e-3, atoms=[1])
     assert np.abs(ga[1] - gf[1]).max() < 2e-5
+
+
+@pytest.fixture(scope="module")
+def oh_rohf():
+    mol = Molecule.from_atoms("O 0 0 0; H 0 0 0.98", basis="sto-3g", spin=1)
+    return ROHF(mol).kernel()
+
+
+def test_xtdhf_states_match_driver(oh_rohf):
+    from xtddft_tpu.methods.drivers import XTDA, XTDHF
+
+    eg = ExcitedGradients(oh_rohf, method="xtdhf")
+    e, _ = eg.states(3)
+    res = XTDHF(oh_rohf, nstates=3).kernel()
+    assert np.abs(np.asarray(e) - np.asarray(res.e[:3])).max() < 1e-8
+    # Thouless bound vs X-TDA over the physical (nonzero) roots: the
+    # degenerate-partner zero mode of A-B is projected out by
+    # solve_casida, so align after dropping it
+    tda = XTDA(oh_rohf, nstates=4).kernel()
+    tda_nz = tda.e[tda.e > 1e-8][:3]
+    assert np.all(np.asarray(res.e) <= tda_nz + 1e-10)
+
+
+def test_xtdhf_gradient_vs_fd(oh_rohf):
+    from xtddft_tpu.methods.drivers import XTDHF
+
+    eg = ExcitedGradients(oh_rohf, method="xtdhf")
+    ga, w = eg.kernel(state=0)
+    gf = fd_excited_gradient(oh_rohf, lambda mf: XTDHF(mf, nstates=1),
+                             state=0, h=1e-3, atoms=[1])
+    assert np.abs(ga[1] - gf[1]).max() < 2e-5
+    assert np.abs(ga.sum(axis=0)).max() < 1e-8
+
+
+def test_xtdhf_ks_gradient_vs_fd():
+    """Spin-adapted X-TDHF gradient on a ROKS reference — beyond the
+    reference, whose XTDHF produces Y=0 TDA amplitudes
+    (`xtddft/grad_jp/grad/xtdhf.py:534`)."""
+    from xtddft_tpu.methods.drivers import XTDHF
+
+    mol = Molecule.from_atoms("O 0 0 0; H 0 0 0.98", basis="sto-3g", spin=1)
+    mf = ROKS(mol, xc="b3lyp", grid_level=1).kernel()
+    eg = ExcitedGradients(mf, method="xtdhf")
+    ga, w = eg.kernel(state=0)
+    gf = fd_excited_gradient(mf, lambda m: XTDHF(m, nstates=1),
+                             state=0, h=1e-3, atoms=[1])
+    assert np.abs(ga[1] - gf[1]).max() < 3e-5
 
 
 def test_rtdhf_ks_gradient_vs_fd():

@@ -186,7 +186,21 @@ class ExcitedGradients:
         self.coords0 = np.asarray(mol.coords, dtype=np.float64)
         self.charges = jnp.asarray(np.asarray(mol.charges, dtype=np.float64))
         self.na, self.nb = mol.nalpha, mol.nbeta
-        self._ints = make_integral_fn(mf.env.layout, omega_lr=self.omega)
+        # block_jit: each integral class block compiles separately (and
+        # the coordinate gradient differentiates eagerly through them) —
+        # a monolithic jit of the full integral graph takes >30 min of
+        # XLA time at DZ scale (VERDICT r1 item 5), driven by the high-L
+        # hermite recursions of d shells; small s/p-only bases keep the
+        # faster monolithic jit.
+        layout = mf.env.layout
+        self._block_jit = (max(sh.l for sh in layout.shells) >= 2
+                           or mf.env.nao > 40)
+        self._ints = make_integral_fn(layout, omega_lr=self.omega,
+                                      block_jit=self._block_jit)
+        if self._exc is not None:
+            self._exc = jax.jit(self._exc)  # one self-contained unit
+        if self._sf_xc is not None:
+            self._sf_xc = jax.jit(self._sf_xc)
         if self.kind in ("uhf", "uks"):
             self.C0 = [jnp.asarray(mf.mo_coeff[0]), jnp.asarray(mf.mo_coeff[1])]
             self.nmo = self.C0[0].shape[1]
@@ -214,9 +228,11 @@ class ExcitedGradients:
     def _ints0(self):
         """Integrals at the reference geometry, computed once and cached —
         every kappa-space derivative (Ritz Hessian, Z-vector RHS, CG HVPs)
-        reuses them instead of re-tracing the integral build."""
+        reuses them instead of re-tracing the integral build.  Eager call:
+        self._ints runs through per-block jits (see make_integral_fn)."""
         if getattr(self, "_ints0_cache", None) is None:
-            self._ints0_cache = jax.jit(self._ints)(jnp.asarray(self.coords0))
+            fn = self._ints if self._block_jit else jax.jit(self._ints)
+            self._ints0_cache = fn(jnp.asarray(self.coords0))
         return self._ints0_cache
 
     # -- SCF energy -----------------------------------------------------------
@@ -248,7 +264,7 @@ class ExcitedGradients:
             return [(nb, nmo - nb)]
         if self.method in ("ucis", "utdhf"):
             return [(na, nmo - na), (nb, nmo - nb)]
-        if self.method == "xcis":
+        if self.method in ("xcis", "xtdhf"):
             # X-TDA space: alpha (na x nv_a) + beta (nb x nv_b)
             return [(na, nmo - na), (nb, nmo - nb)]
         if self.method == "sfcis-up":
@@ -258,7 +274,7 @@ class ExcitedGradients:
 
     @property
     def is_tdhf(self) -> bool:
-        return self.method in ("rtdhf", "rtdhf-triplet", "utdhf")
+        return self.method in ("rtdhf", "rtdhf-triplet", "utdhf", "xtdhf")
 
     @property
     def xdim(self) -> int:
@@ -463,22 +479,26 @@ class ExcitedGradients:
             return w
 
         (noa, nva), (nob, nvb) = dims
-        za = x[: noa * nva].reshape(noa, nva)
-        zb = x[noa * nva :].reshape(nob, nvb)
+        d_u = noa * nva + nob * nvb
         Coa, Cva = Ca[:, :noa], Ca[:, noa:]
         Cob, Cvb = Cb[:, :nob], Cb[:, nob:]
-        w = jnp.einsum("ia,ab,ib->", za, Fa_mo[noa:, noa:], za)
-        w -= jnp.einsum("ia,ij,ja->", za, Fa_mo[:noa, :noa], za)
-        w += jnp.einsum("ia,ab,ib->", zb, Fb_mo[nob:, nob:], zb)
-        w -= jnp.einsum("ia,ij,ja->", zb, Fb_mo[:nob, :nob], zb)
-        t1a = Coa @ za @ Cva.T
-        t1b = Cob @ zb @ Cvb.T
-        dt = t1a + t1b
-        w += jnp.einsum("pq,pqrs,rs->", dt, eri, dt)  # Coulomb
-        w -= kx(t1a, t1a)  # same-spin exchange (RSH-combined kernel)
-        w -= kx(t1b, t1b)
-        w += fxc_dir(0.5 * (t1a + t1a.T), 0.5 * (t1b + t1b.T))
-        if self.method == "ucis":
+
+        def split(v):
+            return (v[: noa * nva].reshape(noa, nva),
+                    v[noa * nva:].reshape(nob, nvb))
+
+        def a_form_u(za, zb):
+            w = jnp.einsum("ia,ab,ib->", za, Fa_mo[noa:, noa:], za)
+            w -= jnp.einsum("ia,ij,ja->", za, Fa_mo[:noa, :noa], za)
+            w += jnp.einsum("ia,ab,ib->", zb, Fb_mo[nob:, nob:], zb)
+            w -= jnp.einsum("ia,ij,ja->", zb, Fb_mo[:nob, :nob], zb)
+            t1a = Coa @ za @ Cva.T
+            t1b = Cob @ zb @ Cvb.T
+            dt = t1a + t1b
+            w += jnp.einsum("pq,pqrs,rs->", dt, eri, dt)  # Coulomb
+            w -= kx(t1a, t1a)  # same-spin exchange (RSH-combined kernel)
+            w -= kx(t1b, t1b)
+            w += fxc_dir(0.5 * (t1a + t1a.T), 0.5 * (t1b + t1b.T))
             return w
 
         # X-CIS spin adaptation: dA from the HF-flavored alpha/beta Fock
@@ -487,37 +507,61 @@ class ExcitedGradients:
         # For a KS reference the dA Fock pair is a *ROHF* veff on the DFT
         # density (`xtddft/XTDA.py:608-612`): dF = Fb_hf - Fa_hf = Ka - Kb
         # with FULL exchange, regardless of the functional's hyb.
-        nc, no = nb, na - nb
-        nv = self.nmo - na
-        si = 0.5 * no
-        f1 = 0.5 * (1.0 - jnp.sqrt((si + 1) / si) + 1.0 / (2 * si))
-        f2 = 0.5 * (-1.0 + jnp.sqrt((si + 1) / si) + 1.0 / (2 * si))
-        fx = 0.5 / (2.0 * si)
-        if self._exc is None:
-            dF = Fb_mo - Fa_mo  # ROHF: same C for both spins
-        else:
-            dF = Ca.T @ (Ka - Kb) @ Ca
-        dFV = dF[na:, na:]
-        dFC = dF[:nc, :nc]
-        zac = za[:nc, :]          # CV(alpha) rows
-        zbv = zb[:, no:]          # CV(beta) columns
-        coup_a = f1 * jnp.einsum("ib,ab->ia", zac, dFV) + f2 * jnp.einsum(
-            "ja,ij->ia", zac, dFC
-        )
-        cross_b = fx * (
-            jnp.einsum("ib,ab->ia", zbv, dFV)
-            + jnp.einsum("ja,ij->ia", zbv, dFC)
-        )
-        coup_b = f2 * jnp.einsum("ib,ab->ia", zbv, dFV) + f1 * jnp.einsum(
-            "ja,ij->ia", zbv, dFC
-        )
-        cross_a = fx * (
-            jnp.einsum("ib,ab->ia", zac, dFV)
-            + jnp.einsum("ja,ij->ia", zac, dFC)
-        )
-        w += jnp.einsum("ia,ia->", zac, coup_a - cross_b)
-        w += jnp.einsum("ia,ia->", zbv, coup_b - cross_a)
-        return w
+        def da_form(za, zb):
+            nc, no = nb, na - nb
+            si = 0.5 * no
+            f1 = 0.5 * (1.0 - jnp.sqrt((si + 1) / si) + 1.0 / (2 * si))
+            f2 = 0.5 * (-1.0 + jnp.sqrt((si + 1) / si) + 1.0 / (2 * si))
+            fx = 0.5 / (2.0 * si)
+            if self._exc is None:
+                dF = Fb_mo - Fa_mo  # ROHF: same C for both spins
+            else:
+                dF = Ca.T @ (Ka - Kb) @ Ca
+            dFV = dF[na:, na:]
+            dFC = dF[:nc, :nc]
+            zac = za[:nc, :]          # CV(alpha) rows
+            zbv = zb[:, no:]          # CV(beta) columns
+            coup_a = f1 * jnp.einsum("ib,ab->ia", zac, dFV) + f2 * jnp.einsum(
+                "ja,ij->ia", zac, dFC
+            )
+            cross_b = fx * (
+                jnp.einsum("ib,ab->ia", zbv, dFV)
+                + jnp.einsum("ja,ij->ia", zbv, dFC)
+            )
+            coup_b = f2 * jnp.einsum("ib,ab->ia", zbv, dFV) + f1 * jnp.einsum(
+                "ja,ij->ia", zbv, dFC
+            )
+            cross_a = fx * (
+                jnp.einsum("ib,ab->ia", zac, dFV)
+                + jnp.einsum("ja,ij->ia", zac, dFC)
+            )
+            w = jnp.einsum("ia,ia->", zac, coup_a - cross_b)
+            w += jnp.einsum("ia,ia->", zbv, coup_b - cross_a)
+            return w
+
+        if self.method == "ucis":
+            return a_form_u(*split(x))
+        if self.method == "xcis":
+            za, zb = split(x)
+            return a_form_u(za, zb) + da_form(za, zb)
+
+        # xtdhf: spin-adapted X-TDHF pencil.  B has no dA analog (RPA B
+        # elements <0|H|double> carry no one-electron parts; see
+        # `response/tdhf.py:xtdhf_dense`), so only the A forms get dA.
+        def b_form(za1, zb1, za2, zb2):
+            t1a, t1b = Coa @ za1 @ Cva.T, Cob @ zb1 @ Cvb.T
+            t2a, t2b = Coa @ za2 @ Cva.T, Cob @ zb2 @ Cvb.T
+            w = jnp.einsum("pq,pqrs,rs->", t1a + t1b, eri, t2a + t2b)
+            w -= kxb(t1a, t2a) + kxb(t1b, t2b)
+            w += fxc_bilinear(0.5 * (t1a + t1a.T), 0.5 * (t1b + t1b.T),
+                              0.5 * (t2a + t2a.T), 0.5 * (t2b + t2b.T))
+            return w
+
+        zxa, zxb = split(x[:d_u])
+        zya, zyb = split(x[d_u:])
+        return (a_form_u(zxa, zxb) + da_form(zxa, zxb)
+                + a_form_u(zya, zyb) + da_form(zya, zyb)
+                + 2.0 * b_form(zxa, zxb, zya, zyb))
 
     # -- eigenstates (consistency by construction) ----------------------------
     def states(self, nstates: int = 5):
@@ -587,7 +631,11 @@ class ExcitedGradients:
                 - jnp.dot(z, g_k)
             )
 
-        g = jax.jit(jax.grad(phi))(c0)
+        # block_jit: eager grad differentiates through the per-block
+        # integral jits, compiling one small forward+backward per block
+        # instead of a monolithic graph (see make_integral_fn)
+        gfn = jax.grad(phi) if self._block_jit else jax.jit(jax.grad(phi))
+        g = gfn(c0)
         return np.asarray(g), float(e[state])
 
 
@@ -598,4 +646,6 @@ def scf_gradient(mf) -> np.ndarray:
     eg = ExcitedGradients(mf, method="cis")  # method only shapes the X space
     c0 = jnp.asarray(eg.coords0)
     k0 = jnp.zeros(eg.nk)
-    return np.asarray(jax.jit(jax.grad(eg._e_scf))(c0, k0))
+    gfn = (jax.grad(eg._e_scf) if eg._block_jit
+           else jax.jit(jax.grad(eg._e_scf)))
+    return np.asarray(gfn(c0, k0))

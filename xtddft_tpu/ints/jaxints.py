@@ -335,25 +335,69 @@ def _nuclear(pc: _PairClass, coords, charges):
 
 
 def make_integral_fn(layout: BasisLayout, do_eri: bool = True,
-                     omega_lr: float = 0.0):
+                     omega_lr: float = 0.0, block_jit: bool = False):
     """Return ``ints(coords) -> dict(S, T, V[, eri][, eri_lr])``
     differentiable in coords (natm, 3, bohr).  Spherical AO basis, same
     conventions as the host engine (validated against it in
     tests/test_jaxints.py).  omega_lr > 0 additionally produces the
     erf(omega r)/r-attenuated ERI ('eri_lr') for range-separated
-    hybrids."""
+    hybrids.
+
+    block_jit=True jits each (pair-class, pair-class) ERI block and each
+    one-electron class block SEPARATELY and relies on bra<->ket symmetry
+    ((ab|cd) = (cd|ab)) to halve the block count.  Compiling one
+    monolithic graph over all class pairs is super-linear in XLA (a
+    cc-pVDZ 4-atom molecule takes >30 min; each block alone is seconds),
+    and jit is autodiff-transparent, so ``jax.grad`` through the eager
+    block loop compiles one small forward+backward per block instead —
+    the difference between hours and minutes for DZ-scale gradients
+    (VERDICT r1 item 5).  With block_jit the returned function must NOT
+    be wrapped in an outer jax.jit (that would inline everything back
+    into one graph)."""
     classes = _pair_classes(layout)
     nao = layout.nao
     charges = np.asarray(layout.mol.charges, dtype=np.float64)
+
+    if block_jit:
+        _jit_sk = {}
+        _jit_v = {}
+        _jit_eri = {}
+
+        def blk_sk(i, pc, coords):
+            if i not in _jit_sk:
+                _jit_sk[i] = jax.jit(lambda c, _pc=pc: _overlap_kinetic(_pc, c))
+            return _jit_sk[i](coords)
+
+        def blk_v(i, pc, coords):
+            if i not in _jit_v:
+                _jit_v[i] = jax.jit(
+                    lambda c, _pc=pc: _nuclear(_pc, c, charges))
+            return _jit_v[i](coords)
+
+        def blk_eri(key, pc1, pc2, om, coords):
+            if key not in _jit_eri:
+                _jit_eri[key] = jax.jit(
+                    lambda c, _p1=pc1, _p2=pc2, _om=om: _eri_block(
+                        _p1, _p2, c, omega=_om))
+            return _jit_eri[key](coords)
+    else:
+        def blk_sk(i, pc, coords):
+            return _overlap_kinetic(pc, coords)
+
+        def blk_v(i, pc, coords):
+            return _nuclear(pc, coords, charges)
+
+        def blk_eri(key, pc1, pc2, om, coords):
+            return _eri_block(pc1, pc2, coords, omega=om)
 
     def ints(coords):
         coords = jnp.asarray(coords)
         S = jnp.zeros((nao, nao))
         T = jnp.zeros((nao, nao))
         V = jnp.zeros((nao, nao))
-        for pc in classes:
-            S_blk, T_blk = _overlap_kinetic(pc, coords)
-            V_blk = _nuclear(pc, coords, charges)
+        for i, pc in enumerate(classes):
+            S_blk, T_blk = blk_sk(i, pc, coords)
+            V_blk = blk_v(i, pc, coords)
             S = _scatter2(S, pc, S_blk)
             T = _scatter2(T, pc, T_blk)
             V = _scatter2(V, pc, V_blk)
@@ -364,14 +408,23 @@ def make_integral_fn(layout: BasisLayout, do_eri: bool = True,
                 omegas.append((omega_lr, "eri_lr"))
             for om, key in omegas:
                 eri = jnp.zeros((nao, nao, nao, nao))
-                for pc1 in classes:
-                    for pc2 in classes:
-                        blk = _eri_block(pc1, pc2, coords, omega=om)
+                for i1, pc1 in enumerate(classes):
+                    for i2, pc2 in enumerate(classes):
+                        if block_jit and i2 < i1:
+                            continue  # (cd|ab) scattered from (ab|cd)
+                        blk = blk_eri((i1, i2, key), pc1, pc2, om, coords)
                         ia = pc1.idx_a[:, :, None, None, None, None]
                         ib = pc1.idx_b[:, None, :, None, None, None]
                         ic = pc2.idx_a[None, None, None, :, :, None]
                         id_ = pc2.idx_b[None, None, None, :, None, :]
                         eri = eri.at[ia, ib, ic, id_].add(blk)
+                        if block_jit and i2 > i1:
+                            tblk = jnp.moveaxis(blk, (0, 1, 2), (3, 4, 5))
+                            ja = pc2.idx_a[:, :, None, None, None, None]
+                            jb = pc2.idx_b[:, None, :, None, None, None]
+                            jc = pc1.idx_a[None, None, None, :, :, None]
+                            jd = pc1.idx_b[None, None, None, :, None, :]
+                            eri = eri.at[ja, jb, jc, jd].add(tblk)
                 out[key] = eri
         return out
 

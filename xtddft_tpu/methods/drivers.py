@@ -225,6 +225,34 @@ class UTDHF(_Base):
                                 v_xmy=xmy, solver="dense-casida")
 
 
+class XTDHF(_Base):
+    """Spin-adapted X-TDHF/RPA on a restricted-open reference.
+
+    (A, B) pencil with A the spin-adapted X-TDA matrix and B the bare
+    RPA coupling on the X space (`response/tdhf.py:xtdhf_dense`; B has
+    no dA analog — see its docstring).  This exceeds the reference:
+    its ``XTDHF`` (`xtddft/grad_jp/grad/xtdhf.py:534`) subclasses XCIS
+    and feeds Y=0 TDA amplitudes through an X+-Y-capable gradient; no
+    X-space (A,B) solve exists there."""
+
+    def __init__(self, mf, nstates: int = 5):
+        super().__init__(mf, nstates)
+        if not self.ref.restricted_open:
+            raise ValueError("XTDHF requires a ROKS/ROHF reference")
+
+    def kernel(self) -> ExcitationResult:
+        from xtddft_tpu.response.tdhf import solve_casida, xtdhf_dense
+
+        ref = self.ref
+        A, B = xtdhf_dense(ref)
+        e, xpy, xmy = solve_casida(A, B, self.nstates)
+        osc = oscillator.spin_conserving_osc(ref, e, xpy)
+        rot = oscillator.spin_conserving_rot(ref, e, xmy)
+        ds2 = spin.xtda_delta_s2(ref, xpy)
+        return ExcitationResult(e=e, v=xpy, osc=osc, rot=rot, ds2=ds2,
+                                v_xmy=xmy, solver="dense-casida")
+
+
 class UTDA(_Base):
     """Unrestricted TDA in the blocked CV(a)|OV(a)|CO(b)|CV(b) layout."""
 

@@ -82,13 +82,13 @@ def rtdhf_dense(ref: Reference, singlet: bool = True):
     return A, B.reshape(no_ * nv_, no_ * nv_)
 
 
-def utdhf_dense(ref: Reference):
-    """Unrestricted (A, B) in the blocked CV(a)|OV(a)|CO(b)|CV(b) layout
-    (matches `dense.utda_dense`; the beta part is permuted from the
-    natural row-major ov order by `spaces.order_interleaved2blocked`)."""
+def blocked_b(ref: Reference) -> np.ndarray:
+    """The RPA B matrix in the blocked CV(a)|OV(a)|CO(b)|CV(b) layout
+    (matches `dense.utda_dense`/`dense.xtda_dense`; the beta part is
+    permuted from the natural row-major ov order by
+    `spaces.order_interleaved2blocked`)."""
     from xtddft_tpu.response.spaces import order_interleaved2blocked
 
-    A = _d.utda_dense(ref)
     baa, bab, bbb = tdhf_b_blocks(ref)
     na = baa.shape[0] * baa.shape[1]
     nb = bbb.shape[0] * bbb.shape[1]
@@ -98,7 +98,30 @@ def utdhf_dense(ref: Reference):
     B[na:, :na] = B[:na, na:].T
     B[na:, na:] = bbb.reshape(nb, nb)
     perm = order_interleaved2blocked(ref.nc, ref.no, ref.nv)
-    return A, B[np.ix_(perm, perm)]
+    return B[np.ix_(perm, perm)]
+
+
+def utdhf_dense(ref: Reference):
+    """Unrestricted (A, B) in the blocked CV(a)|OV(a)|CO(b)|CV(b)
+    layout."""
+    return _d.utda_dense(ref), blocked_b(ref)
+
+
+def xtdhf_dense(ref: Reference):
+    """Spin-adapted X-TDHF (A, B) pencil on a restricted-open reference.
+
+    A is the spin-adapted X-TDA matrix (`dense.xtda_dense`, incl. the dA
+    Fock-difference terms of `xtddft/XTDA.py:291-331`).  B carries NO dA
+    analog: the dA corrections are effective one-electron (Fock
+    difference) couplings between single excitations, while RPA B
+    elements <0|H|double> contain no one-electron parts (Slater-Condon)
+    — so B on the X space is exactly the bare antisymmetrized coupling
+    `blocked_b`.  NOTE this genuinely extends the reference: its
+    ``XTDHF`` class (`xtddft/grad_jp/grad/xtdhf.py:534`) subclasses XCIS
+    and produces Y=0 TDA amplitudes; no X-space B matrix exists there."""
+    if not ref.restricted_open:
+        raise ValueError("xtdhf_dense requires a ROKS/ROHF reference")
+    return _d.xtda_dense(ref), blocked_b(ref)
 
 
 class RPAInstabilityError(RuntimeError):
