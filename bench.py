@@ -119,13 +119,27 @@ def ttm_real(nroots: int = 10):
 
 
 def main():
+    import os
+
     import jax
+
+    # the axon TPU tunnel can be transiently unavailable: fall back to
+    # CPU (slower, but the bench must always emit its JSON line)
+    cpu_fallback = False
+    try:
+        jax.devices()
+    except RuntimeError:
+        cpu_fallback = True
+        os.environ["XTDDFT_PLATFORM"] = "cpu"
+        jax.config.update("jax_platforms", "cpu")
+        print('{"warning": "TPU backend unavailable - degraded CPU '
+              'fallback (reduced naux/ngrid, TTM leg skipped)"}')
 
     from xtddft_tpu.response.sigma_df import synthetic_df_data, xtda_sigma_df
     from xtddft_tpu.solver.davidson_jit import davidson_fulljit
 
     nmo, nc, no = 1000, 78, 2
-    naux, ngrid = 2000, 49152
+    naux, ngrid = (256, 2048) if cpu_fallback else (2000, 49152)
     nroots = 20
     # f32 device path: f64 is software-emulated on this TPU; the accuracy
     # roadmap is compensated-f32 for the production hot path.
@@ -166,7 +180,7 @@ def main():
 
     ttm = None
     try:
-        ttm = ttm_real()
+        ttm = None if cpu_fallback else ttm_real()
     except Exception as exc:  # never let the real-molecule leg kill the bench
         ttm = {"error": f"{type(exc).__name__}: {exc}"[:120]}
     if ttm is None:

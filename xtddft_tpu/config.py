@@ -5,6 +5,26 @@ import os
 _initialized = False
 
 
+def _host_fingerprint() -> str:
+    """Short hash of the host CPU feature set.  XLA:CPU caches AOT
+    executables specialized to the compile machine's ISA extensions;
+    the hosting VM can be re-provisioned between sessions onto a CPU
+    with a different feature mask, and loading a stale cache then risks
+    SIGILL.  Keying the cache directory on the feature flags makes each
+    host variant compile into its own namespace."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha1(flags.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    return "generic"
+
+
 def initialize() -> None:
     """Idempotent global JAX configuration.
 
@@ -29,6 +49,22 @@ def initialize() -> None:
         # overriding the env var; restore the caller's explicit CPU choice
         # (the driver's multi-chip dryrun runs on a virtual CPU mesh)
         jax.config.update("jax_platforms", "cpu")
+    # persistent compilation cache: the block-jitted differentiable
+    # integral path compiles ~100s of small executables (once per
+    # class-pair signature) — cache them on disk so FD harnesses, test
+    # reruns, and future sessions skip recompilation entirely
+    cache_dir = os.environ.get(
+        "XTDDFT_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache",
+                     "xtddft_tpu_xla_" + _host_fingerprint()),
+    )
+    if cache_dir and cache_dir != "0":
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        except Exception:
+            pass  # older jaxlib without the persistent cache: skip
     _initialized = True
 
 

@@ -564,14 +564,75 @@ class ExcitedGradients:
                 + 2.0 * b_form(zxa, zxb, zya, zyb))
 
     # -- eigenstates (consistency by construction) ----------------------------
-    def states(self, nstates: int = 5):
-        """(e, X) from the dense eigenproblem of THIS module's quadratic
-        form: A = 1/2 d2(omega)/dX2.  Cross-checked against the method
-        drivers in tests.
+    def _driver_states(self, nstates: int):
+        """(e, X) from the method drivers (host-engine dense solves) with
+        the blocked->packed layout conversion.  The jax.hessian route
+        below batches nstates x xdim passes over the full ERI graph —
+        O(xdim * nao^4) transient memory, which OOMs at DZ scale
+        (VERDICT r1 item 5) — while the drivers build the same matrix
+        once via the host MO-ERI engine.  Consistency of the two routes
+        is asserted in tests/test_grad_analytic.py."""
+        from xtddft_tpu.methods import drivers as drv
+        from xtddft_tpu.response.spaces import order_interleaved2blocked
+
+        mf = self.mf
+        m = self.method
+        nc, no = self.nb, self.na - self.nb
+        nv = self.nmo - self.na
+        inv = np.argsort(order_interleaved2blocked(nc, no, nv))
+
+        def unblock(v):
+            return np.asarray(v)[inv]
+
+        if m in ("cis", "cis-triplet"):
+            r = drv.TDA(mf, nstates=nstates, singlet=(m == "cis")).kernel()
+            V = np.asarray(r.v)
+        elif m in ("rtdhf", "rtdhf-triplet"):
+            r = drv.TDHF(mf, nstates=nstates,
+                         singlet=(m == "rtdhf")).kernel()
+            V = np.concatenate([0.5 * (np.asarray(r.v) + np.asarray(r.v_xmy)),
+                                0.5 * (np.asarray(r.v) - np.asarray(r.v_xmy))])
+        elif m == "ucis":
+            r = drv.UTDA(mf, nstates=nstates).kernel()
+            V = unblock(r.v)
+        elif m == "xcis":
+            r = drv.XTDA(mf, nstates=nstates, backend="dense").kernel()
+            V = unblock(r.v)
+        elif m == "utdhf":
+            r = drv.UTDHF(mf, nstates=nstates).kernel()
+            V = np.concatenate([0.5 * (unblock(r.v) + unblock(r.v_xmy)),
+                                0.5 * (unblock(r.v) - unblock(r.v_xmy))])
+        elif m == "xtdhf":
+            r = drv.XTDHF(mf, nstates=nstates).kernel()
+            V = np.concatenate([0.5 * (unblock(r.v) + unblock(r.v_xmy)),
+                                0.5 * (unblock(r.v) - unblock(r.v_xmy))])
+        elif m == "sfcis-up":
+            r = drv.SFTDA(mf, nstates=nstates, extype="up",
+                          method=self.sf_method).kernel()
+            V = np.asarray(r.v)
+        else:
+            raise ValueError(m)
+        return np.asarray(r.e)[:nstates], V[:, :nstates]
+
+    def states(self, nstates: int = 5, source: str | None = None):
+        """(e, X) of the excited states.
+
+        source='hessian' (default at small scale): dense eigenproblem of
+        THIS module's quadratic form, A = 1/2 d2(omega)/dX2 — the
+        gradient and the eigenproblem cannot drift apart.
+        source='driver' (auto above ~DZ scale): the method drivers'
+        host-engine dense solve, layout-converted (`_driver_states`).
 
         TDHF methods return packed [X; Y] columns with X^T X - Y^T Y = 1,
         solved from the (A, B) pencil whose blocks are second derivatives
         of the SAME omega functional the gradient differentiates."""
+        if source is None:
+            # the batched hessian materializes ~xdim copies of eri-sized
+            # intermediates: gate on that footprint (bytes)
+            footprint = self.xdim * float(self.mf.env.nao) ** 4 * 8.0
+            source = "driver" if footprint > 5e8 else "hessian"
+        if source == "driver":
+            return self._driver_states(nstates)
         k0 = jnp.zeros(self.nk)
         ints0 = self._ints0()
 
@@ -599,27 +660,43 @@ class ExcitedGradients:
 
     # -- the gradient ---------------------------------------------------------
     def kernel(self, state: int = 0, nstates: int | None = None,
-               cg_tol: float = 1e-9):
+               cg_tol: float = 1e-9, verbose: bool = False):
         """(natm, 3) gradient of E_scf + omega_state.  Returns
         (grad, omega_state)."""
+        import time as _time
+
+        def _log(msg, t0):
+            if verbose:
+                print(f"  [grad] {msg}: {_time.time()-t0:.0f}s", flush=True)
+
+        t0 = _time.time()
         nst = state + 1 if nstates is None else nstates
         e, v = self.states(nst)
+        _log("states", t0)
         x = jnp.asarray(v[:, state])
         k0 = jnp.zeros(self.nk)
         c0 = jnp.asarray(self.coords0)
+        t0 = _time.time()
         ints0 = self._ints0()
+        jax.block_until_ready(ints0["S"])
+        _log("ints0", t0)
 
         # kappa-space pieces at the reference geometry reuse the cached
         # integrals (Enuc has no kappa dependence)
         gk_elec = jax.grad(self._e_elec, argnums=1)
+        t0 = _time.time()
         b = jax.jit(jax.grad(self._omega_i, argnums=1))(ints0, k0, x)
+        b = jax.block_until_ready(b)
+        _log("z-vector rhs", t0)
 
         @jax.jit
         def hvp(vv):
             return jax.jvp(lambda k: gk_elec(ints0, k), (k0,), (vv,))[1]
 
+        t0 = _time.time()
         z, _ = jax.scipy.sparse.linalg.cg(hvp, b, tol=cg_tol, maxiter=400)
         z = jax.block_until_ready(z)
+        _log("z-vector cg", t0)
 
         def phi(coords):
             ints = self._ints(coords)
@@ -634,8 +711,10 @@ class ExcitedGradients:
         # block_jit: eager grad differentiates through the per-block
         # integral jits, compiling one small forward+backward per block
         # instead of a monolithic graph (see make_integral_fn)
+        t0 = _time.time()
         gfn = jax.grad(phi) if self._block_jit else jax.jit(jax.grad(phi))
-        g = gfn(c0)
+        g = jax.block_until_ready(gfn(c0))
+        _log("phi grad", t0)
         return np.asarray(g), float(e[state])
 
 

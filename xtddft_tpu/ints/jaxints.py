@@ -172,12 +172,25 @@ class _PairClass:
         self.ia, self.ib = [], []
         self.ao_a, self.ao_b = [], []
 
-    def add(self, sha, shb):
+    def add(self, sha, shb, ab2=0.0, prim_eps=0.0):
         ea = np.repeat(sha.exps, len(shb.exps))
         eb = np.tile(shb.exps, len(sha.exps))
         cc = np.repeat(sha.coefs, len(shb.coefs)) * np.tile(
             shb.coefs, len(sha.coefs)
         )
+        if prim_eps > 0.0:
+            # primitive-pair overlap screening at the reference geometry
+            # (the host engine's bound, `xtddft_native/md_eri.cpp`):
+            # |cc| (pi/p)^{3/2} exp(-ab/p |AB|^2) < eps contributes below
+            # the f64 test gates; the screening PATTERN is frozen at the
+            # build geometry, which is exact for gradients evaluated
+            # there (this module's scope) and conservative nearby.
+            p = ea + eb
+            est = np.abs(cc) * (np.pi / p) ** 1.5 * np.exp(-ea * eb / p * ab2)
+            keep = est >= prim_eps
+            if not keep.any():
+                keep[np.argmax(est)] = True  # keep shapes nonempty
+            ea, eb, cc = ea[keep], eb[keep], cc[keep]
         self.exps_a.append(ea)
         self.exps_b.append(eb)
         self.cc.append(cc)
@@ -197,6 +210,23 @@ class _PairClass:
         self.exps_a = pad(self.exps_a, 1.0)  # (npair, npp)
         self.exps_b = pad(self.exps_b, 1.0)
         self.cc = pad(self.cc, 0.0)
+        # pad the pair axis to a power of 2 (zero-coefficient rows on
+        # atom 0): classes of equal (la, lb, npp, npair-bucket) then hit
+        # the SAME jit executable in the block_jit ERI path
+        np_bkt = 1
+        while np_bkt < len(self.ia):
+            np_bkt *= 2
+        extra = np_bkt - len(self.ia)
+        if extra:
+            self.exps_a = np.concatenate(
+                [self.exps_a, np.ones((extra, npp))])
+            self.exps_b = np.concatenate(
+                [self.exps_b, np.ones((extra, npp))])
+            self.cc = np.concatenate([self.cc, np.zeros((extra, npp))])
+            self.ia = self.ia + [0] * extra
+            self.ib = self.ib + [0] * extra
+            self.ao_a = self.ao_a + [0] * extra
+            self.ao_b = self.ao_b + [0] * extra
         self.ia = np.asarray(self.ia)
         self.ib = np.asarray(self.ib)
         nsa, nsb = 2 * self.la + 1, 2 * self.lb + 1
@@ -205,13 +235,56 @@ class _PairClass:
         return self
 
 
-def _pair_classes(layout: BasisLayout):
+def _npp_bucket(n: int) -> int:
+    """Next power of 4 >= n: pairs are grouped by primitive-product
+    count so a 1-primitive pair never pads to a 9x9-primitive class
+    (cc-pVDZ 1s contractions would force npp=81 onto every s pair,
+    inflating the ss x ss ERI grid ~80x; padding waste is bounded at
+    4x per bucket)."""
+    b = 1
+    while b < n:
+        b *= 4
+    return b
+
+
+def _pair_classes(layout: BasisLayout, prim_eps: float = 1e-14):
+    coords = np.asarray(layout.mol.coords, dtype=np.float64)
+    pre = {}
+    for sha in layout.shells:
+        for shb in layout.shells:
+            ab2 = float(np.sum((coords[sha.atom_index]
+                                - coords[shb.atom_index]) ** 2))
+            ea = np.repeat(sha.exps, len(shb.exps))
+            eb = np.tile(shb.exps, len(sha.exps))
+            cc = np.abs(np.repeat(sha.coefs, len(shb.coefs))
+                        * np.tile(shb.coefs, len(sha.coefs)))
+            p = ea + eb
+            est = cc * (np.pi / p) ** 1.5 * np.exp(-ea * eb / p * ab2)
+            nkeep = max(1, int((est >= prim_eps).sum())) if prim_eps > 0 \
+                else len(ea)
+            pre[(sha.ao_offset, shb.ao_offset)] = (ab2, nkeep)
     classes: dict = {}
     for sha in layout.shells:
         for shb in layout.shells:
-            key = (sha.l, shb.l)
-            classes.setdefault(key, _PairClass(*key)).add(sha, shb)
+            ab2, nkeep = pre[(sha.ao_offset, shb.ao_offset)]
+            key = (sha.l, shb.l, _npp_bucket(nkeep))
+            classes.setdefault(key, _PairClass(key[0], key[1])).add(
+                sha, shb, ab2=ab2, prim_eps=prim_eps)
     return [c.finalize() for c in classes.values()]
+
+
+class _PairData:
+    """Duck-typed stand-in for _PairClass whose array leaves are traced
+    jit arguments (only la/lb stay static) — lets one jitted ERI-block
+    executable serve every class pair with the same l-signature and
+    shapes (see make_integral_fn block_jit)."""
+
+    __slots__ = ("la", "lb", "exps_a", "exps_b", "cc", "ia", "ib")
+
+    def __init__(self, la, lb, exps_a, exps_b, cc, ia, ib):
+        self.la, self.lb = la, lb
+        self.exps_a, self.exps_b, self.cc = exps_a, exps_b, cc
+        self.ia, self.ib = ia, ib
 
 
 def _pair_geometry(pc: _PairClass, coords):
@@ -374,12 +447,26 @@ def make_integral_fn(layout: BasisLayout, do_eri: bool = True,
                     lambda c, _pc=pc: _nuclear(_pc, c, charges))
             return _jit_v[i](coords)
 
+        # ERI blocks dominate compile time: jit ONE function per
+        # (la1, lb1, la2, lb2, omega) signature that takes the pair data
+        # as ARGUMENTS — jax.jit shape-specializes per (npair, npp)
+        # bucket, so all class pairs sharing a signature + shape reuse
+        # one compiled executable instead of compiling 100s of
+        # closure-constant variants
         def blk_eri(key, pc1, pc2, om, coords):
-            if key not in _jit_eri:
-                _jit_eri[key] = jax.jit(
-                    lambda c, _p1=pc1, _p2=pc2, _om=om: _eri_block(
-                        _p1, _p2, c, omega=_om))
-            return _jit_eri[key](coords)
+            sig = (pc1.la, pc1.lb, pc2.la, pc2.lb, om)
+            if sig not in _jit_eri:
+                la1, lb1, la2, lb2, _om = sig
+
+                def f(c, d1, d2):
+                    p1 = _PairData(la1, lb1, *d1)
+                    p2 = _PairData(la2, lb2, *d2)
+                    return _eri_block(p1, p2, c, omega=_om)
+
+                _jit_eri[sig] = jax.jit(f)
+            d1 = (pc1.exps_a, pc1.exps_b, pc1.cc, pc1.ia, pc1.ib)
+            d2 = (pc2.exps_a, pc2.exps_b, pc2.cc, pc2.ia, pc2.ib)
+            return _jit_eri[sig](coords, d1, d2)
     else:
         def blk_sk(i, pc, coords):
             return _overlap_kinetic(pc, coords)
