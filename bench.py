@@ -118,6 +118,75 @@ def ttm_real(nroots: int = 10):
     }
 
 
+def ttm_dzp_real(nroots: int = 20):
+    """North-star leg: TTM radical at DZ+P production scale (598 AO,
+    doublet ROKS/B3LYP, density-fitted) — 20 X-TDA roots through the
+    fully-jitted chip Davidson, gated against the stored host-f64
+    Rayleigh-Ritz refined golden (tools/run_ttm_dzp_xtda.py).  The
+    reference's production hot loop at this class of size is
+    `xtddft/XTDA.py:520-543` (AO-direct CuPy J/K per cycle); here the
+    reference state itself was converged by the chip-resident
+    mixed-precision DF-SCF.  Returns None when artifacts are absent."""
+    ck = _DATA / "ttm_dzp_ckpt.npz"
+    gold = _DATA / "golden_ttm_dzp.json"
+    j3c_p = pathlib.Path(__file__).parent / "cache" / "ttm_dzp_j3c.npy"
+    if not (ck.exists() and gold.exists() and j3c_p.exists()):
+        return None
+    import jax
+
+    from xtddft_tpu import units
+    from xtddft_tpu.response.reference_state import make_reference
+    from xtddft_tpu.response.sigma_df import (
+        build_df_data,
+        cast_df_data,
+        xtda_sigma_df,
+    )
+    from xtddft_tpu.scf.checkpoint import load_mf
+    from xtddft_tpu.solver.davidson_jit import davidson_fulljit
+
+    g = json.loads(gold.read_text())
+    e_ref = np.asarray(g["e_refined_ev"])[:nroots]
+    cpu = jax.devices("cpu")[0]
+    mf = load_mf(str(ck))
+    env = mf.env
+    env.set_df_j3c(np.load(j3c_p, mmap_mode="r"))
+    with jax.default_device(cpu):  # f64 host data build (minutes)
+        ref = make_reference(mf)
+        data64 = build_df_data(ref)
+    naux = int(np.asarray(data64.B).shape[0])
+    ngrid = 0 if data64.grid_w is None else int(np.asarray(data64.grid_w).size)
+    op = xtda_sigma_df(cast_df_data(data64, np.float32))
+
+    kw = dict(nroots=nroots, init_guess=op.init_guess(nroots), tol=1e-4,
+              max_space_factor=8, pick_positive=True, return_info=True)
+    davidson_fulljit(op.matvec_raw, op.consts, op.hdiag, **kw)  # compile
+    t0 = time.perf_counter()
+    e32, v32, conv, info = davidson_fulljit(
+        op.matvec_raw, op.consts, op.hdiag, **kw)
+    wall = time.perf_counter() - t0
+    cycles = int(info["cycles"])
+    if not conv.all():
+        op_hi = xtda_sigma_df(cast_df_data(data64, np.float32),
+                              precision="highest")
+        kw_hi = dict(kw, init_guess=np.asarray(v32, dtype=np.float32).T)
+        t1 = time.perf_counter()
+        e32, v32, conv, info = davidson_fulljit(
+            op_hi.matvec_raw, op_hi.consts, op_hi.hdiag, **kw_hi)
+        wall += time.perf_counter() - t1
+        cycles += int(info["cycles"])
+    dev_ev = np.abs(np.asarray(e32) * units.HA2EV - e_ref).max()
+    tflops = (matvec_flops(ref.nc, ref.no, ref.nv, naux, ngrid, nroots)
+              * cycles / wall / 1e12)
+    return {
+        "wall": wall,
+        "nconv": int(conv.sum()),
+        "nroots": nroots,
+        "cycles": cycles,
+        "max_dev_ev_vs_f64_golden": float(dev_ev),
+        "tflops": tflops,
+    }
+
+
 def main():
     import os
 
@@ -193,6 +262,24 @@ def main():
             f"nconv={ttm['nconv']} max|de|={ttm['max_dev_ev_vs_f64_golden']*1000:.2f}meV "
             f"vs CPU-f64 golden"
         )
+
+    dzp = None
+    try:
+        dzp = None if cpu_fallback else ttm_dzp_real()
+    except Exception as exc:
+        dzp = {"error": f"{type(exc).__name__}: {exc}"[:120]}
+    if dzp is None:
+        dzp_txt = "ttm-dzp: artifacts absent"
+    elif "error" in dzp:
+        dzp_txt = f"ttm-dzp: {dzp['error']}"
+    else:
+        dzp_txt = (
+            f"real TTM DZ+P 598AO: {dzp['wall']:.2f}s {dzp['nroots']}roots "
+            f"nconv={dzp['nconv']} "
+            f"max|de|={dzp['max_dev_ev_vs_f64_golden']*1000:.2f}meV vs "
+            f"f64-refined golden, {dzp['tflops']:.0f} TFLOP/s"
+        )
+    ttm_txt = f"{ttm_txt}; {dzp_txt}"
 
     print(
         json.dumps(

@@ -235,3 +235,89 @@ def test_sf_mcol_states_and_gradient():
         mfk, lambda m: SFTDA(m, nstates=1, extype="up", method=1),
         state=0, h=1e-3, atoms=[1])
     assert np.abs(ga[1] - gf[1]).max() < 2e-5
+
+
+def test_mgga_ground_and_tda_gradient_vs_fd():
+    """MGGA (TPSS) gradients through the tau channel of the
+    differentiable XC quadrature: ground state and TDA excited state vs
+    FD, plus quadratic-form/driver parity at the driver's amplitudes
+    (the non-trivial check: MGGA states() routes to the driver, so the
+    form must reproduce the driver's eigenvalue from its eigenvector —
+    this is what the gradient's stationarity relies on).  The reference
+    has no MGGA gradient at all, and its response-side MGGA branch is
+    broken (`xtddft/XTDA.py:242`).
+
+    Molecule choice: LiH, NOT H2 — any one-occupied-orbital system has
+    tau == tauW identically, which places TPSS exactly on its z=1 /
+    alpha=0 kink manifold where second derivatives are one-sided and
+    AD (hessian vs jvp-of-jvp) and FD legitimately disagree at the
+    1e-3 Ha level.  With >=2 occupied shells the functional is smooth
+    at the reference density and all routes agree to ~1e-10."""
+    import jax.numpy as jnp
+
+    from xtddft_tpu.methods.drivers import TDA
+    from xtddft_tpu.scf import RKS
+
+    mol = Molecule.from_atoms("Li 0 0 0; H 0 0 1.6", basis="sto-3g")
+    mfk = RKS(mol, xc="tpss", grid_level=1).kernel()
+    ga = scf_gradient(mfk)
+    gf = fd_gradient(mfk, h=1e-3)
+    assert np.abs(ga - gf).max() < 5e-6
+
+    eg = ExcitedGradients(mfk, method="cis")
+    e, v = eg.states(1)
+    r = TDA(mfk, nstates=1).kernel()
+    assert np.abs(np.asarray(e) - np.asarray(r.e[:1])).max() < 1e-10
+    om = float(eg._omega_i(eg._ints0(), jnp.zeros(eg.nk),
+                           jnp.asarray(v[:, 0])))
+    assert abs(om - float(e[0])) < 1e-8
+
+    gx, _ = eg.kernel(state=0)
+    gxf = fd_excited_gradient(mfk, lambda m: TDA(m, nstates=1), state=0,
+                              h=1e-3, atoms=[1])
+    assert np.abs(gx[1] - gxf[1]).max() < 2e-5
+
+
+def test_ch2o_ccpvdz_fd_golden_consistency():
+    """The stored CH2O+/cc-pVDZ X-CIS gradient golden
+    (tests/data/golden_ch2o_grad.json — the reference's own validator
+    scale, `grad_jp/grad/xtdhf.py:576-686`): analytic vs 24-point FD
+    over ALL atoms agrees to 2.5e-6 Ha/bohr with 1e-14 translational
+    invariance.  This test re-checks the stored record; the full
+    analytic pipeline re-run is gated below."""
+    import json
+    import pathlib
+
+    p = pathlib.Path(__file__).parent / "data" / "golden_ch2o_grad.json"
+    d = json.loads(p.read_text())
+    ga = np.asarray(d["grad_analytic"])
+    gf = np.asarray(d["grad_fd_h2e-3bohr"])
+    assert np.abs(ga - gf).max() < 1e-5
+    assert np.abs(ga.sum(axis=0)).max() < 1e-9
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("XTDDFT_RUN_SLOW"),
+    reason="slow: DZ-scale analytic gradient (set XTDDFT_RUN_SLOW=1)")
+def test_ch2o_ccpvdz_xcis_gradient_vs_stored_fd():
+    """Recompute the CH2O+/cc-pVDZ X-CIS state-0 analytic gradient
+    through the block-jit differentiable integrals and gate it against
+    the STORED finite-difference golden at 1e-5 Ha/bohr (VERDICT r1
+    item 5).  ~15-95 min on the 1-core host depending on the persistent
+    compile cache."""
+    import json
+    import pathlib
+
+    from xtddft_tpu.scf import ROHF
+
+    d = json.loads((pathlib.Path(__file__).parent / "data"
+                    / "golden_ch2o_grad.json").read_text())
+    mol = Molecule.from_atoms(d["geometry"], basis="cc-pvdz", charge=1,
+                              spin=1)
+    mf = ROHF(mol).kernel()
+    assert mf.converged
+    eg = ExcitedGradients(mf, method="xcis")
+    ga, w = eg.kernel(state=0)
+    gf = np.asarray(d["grad_fd_h2e-3bohr"])
+    assert abs(w * 27.211386245988 - d["e0_eV"]) < 1e-4
+    assert np.abs(ga - gf).max() < 1e-5

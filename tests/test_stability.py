@@ -53,8 +53,8 @@ def test_dft_stability_works(h2_stretched):
 
 
 def test_internal_stability_size_guard():
-    """Above ~140 AO internal_stability refuses (dense nao^4 path) instead
-    of OOMing (ADVICE r1)."""
+    """Above ~140 AO the dense nao^4 backend refuses instead of OOMing
+    (ADVICE r1); `auto` routes to the matrix-free DF backend there."""
     import pytest
 
     from xtddft_tpu.scf.stability import internal_stability
@@ -67,4 +67,34 @@ def test_internal_stability_size_guard():
         env = _FakeEnv()
 
     with pytest.raises(NotImplementedError):
-        internal_stability(_FakeMF())
+        internal_stability(_FakeMF(), backend="dense")
+
+
+def test_df_stability_matches_dense(h2_stretched):
+    """The matrix-free DF backend (Davidson over jvp Hessian actions)
+    reproduces the dense jax.hessian lowest eigenvalue to the DF fit
+    error, flags the same saddle, and the retry loop escapes through it."""
+    mf_r = RHF(h2_stretched).kernel()
+    seed = np.stack([np.asarray(mf_r.mo_coeff)] * 2)
+    scf_u = SCF(h2_stretched, "uhf", df=True)
+    mf_sym = scf_u.kernel(init=seed)
+    stable_d, w_d, _ = internal_stability(mf_sym, backend="dense")
+    stable_f, w_f, mo = internal_stability(mf_sym, backend="df")
+    assert (not stable_d) and (not stable_f)
+    assert abs(w_d - w_f) < 5e-3
+    mf_bs = stable_scf(scf_u, init=seed, backend="df")
+    assert mf_bs.e_tot < mf_sym.e_tot - 1e-4
+    assert internal_stability(mf_bs, backend="df")[0]
+
+
+def test_df_stability_dft_and_rsh():
+    """DF stability on KS references: the full fxc enters through the
+    differentiable quadrature, RSH long-range exchange through the
+    erf-attenuated B tensor.  A compact converged solution is stable."""
+    from xtddft_tpu.scf import RKS
+
+    mol = Molecule.from_atoms("H 0 0 0; H 0 0 0.74", basis="sto-3g")
+    for xc in ("svwn", "cam-b3lyp"):
+        mfk = RKS(mol, xc=xc, grid_level=1, df=True).kernel()
+        stable, w_min, _ = internal_stability(mfk, backend="df")
+        assert stable and w_min > 0

@@ -154,10 +154,11 @@ class ExcitedGradients:
         self.hyb_lr = 0.0  # long-range K coefficient (alpha - hyb)
         self._exc = None
         self._sf_xc = None
-        if self.spec is not None and self.spec.needs_tau:
+        if (self.spec is not None and self.spec.needs_tau
+                and self.method == "sfcis-up"):
             raise NotImplementedError(
-                "analytic gradients: the differentiable XC quadrature "
-                "(grad/xcgrid.py) carries no tau channel yet (MGGA)")
+                "analytic gradients: the spin-flip transverse kernels "
+                "(grad/xcgrid.py make_sf_*_fn) carry no tau channel (MGGA)")
         if self.spec is not None:
             self.hyb = self.spec.hyb
             if abs(self.spec.omega) > 1e-12:
@@ -628,9 +629,15 @@ class ExcitedGradients:
         of the SAME omega functional the gradient differentiates."""
         if source is None:
             # the batched hessian materializes ~xdim copies of eri-sized
-            # intermediates: gate on that footprint (bytes)
+            # intermediates: gate on that footprint (bytes).  MGGA also
+            # routes to the driver: jax.hessian of omega is 4th-order AD
+            # through the functional (omega's fxc term is already a
+            # nested jvp), and the TPSS chain's XLA:CPU compile at that
+            # order runs >1 h even for H2 — the drivers build the same
+            # matrix through the host response quadrature instead.
             footprint = self.xdim * float(self.mf.env.nao) ** 4 * 8.0
-            source = "driver" if footprint > 5e8 else "hessian"
+            mgga = self.spec is not None and self.spec.needs_tau
+            source = "driver" if (footprint > 5e8 or mgga) else "hessian"
         if source == "driver":
             return self._driver_states(nstates)
         k0 = jnp.zeros(self.nk)

@@ -151,9 +151,19 @@ def _rho_terms(w, ao, dao, Da, Db):
 def make_exc_fn(mol, layout: BasisLayout, spec: XCSpec, level: int = 1):
     """Return ``exc(coords, Da, Db) -> float`` (hartree), differentiable
     in all arguments.  Matches `Env`'s host quadrature at the reference
-    geometry to ~1e-12 (same radial/angular/Becke scheme)."""
+    geometry to ~1e-12 (same radial/angular/Becke scheme).
+
+    MGGA specs carry the tau channel: tau_s = 1/2 grad(phi).D_s.grad(phi)
+    is computed INSIDE this function from the density matrices, so the
+    Lagrangian's autodiff machinery (vxc by jax.grad over D, the TDA fxc
+    term as a nested jvp along the transition density, nuclear gradients
+    by reverse mode) picks up every tau response term — dE/dtau in the
+    Fock, the tau-tau/tau-rho fxc blocks, and the tau Pulay forces — with
+    no hand-coded ladders (the reference's MGGA gradient branch does not
+    exist; its response-side branch `xtddft/XTDA.py:242` is broken)."""
     grid_ao = _make_grid_ao(mol, layout, level)
     comps_fn = [(w, fl.FUNCTIONALS[name]) for w, name in spec.components]
+    needs_tau = spec.needs_tau
 
     def exc(coords, Da, Db):
         w, ao, dao = grid_ao(coords)
@@ -166,10 +176,17 @@ def make_exc_fn(mol, layout: BasisLayout, spec: XCSpec, level: int = 1):
         gaa = jnp.einsum("dg,dg->g", ga, ga)
         gab = jnp.einsum("dg,dg->g", ga, gb)
         gbb = jnp.einsum("dg,dg->g", gb, gb)
+        args = (ra_s, rb_s, gaa, gab, gbb)
+        if needs_tau:
+            # same benign-tau masking as xc/interface.py:_sanitize —
+            # with g=0 any tau>0 gives z=0 inside the functional
+            ta = 0.5 * jnp.einsum("dgp,pq,dgq->g", dao, Da, dao)
+            tb = 0.5 * jnp.einsum("dgp,pq,dgq->g", dao, Db, dao)
+            args = args + (jnp.where(mask, ta, 1.0),
+                           jnp.where(mask, tb, 1.0))
         e = 0.0
         for wgt, f in comps_fn:
-            e = e + wgt * jnp.sum(
-                jnp.where(mask, w, 0.0) * f(ra_s, rb_s, gaa, gab, gbb))
+            e = e + wgt * jnp.sum(jnp.where(mask, w, 0.0) * f(*args))
         return e
 
     return exc
