@@ -160,3 +160,16 @@ def test_ch2o_sutda_b3lyp(ch2o_cation):
     assert drv.selection["pcsf"] == {"cva": 2, "ova": 1, "cob": 3, "cvb": 2}
     ref = np.array([4.1201, 5.2932, 5.9722])
     assert np.abs(r.e * units.HA2EV - ref).max() < 0.1
+
+    # threshold-INSENSITIVE regression anchor: tp=8.2e-5 sits in the
+    # widest relative gap of the coupling spectrum (nearest coupling 13%
+    # away, vs 1% at the reference's tp=1e-4), so the selected space —
+    # and therefore these 8-decimal energies — are robust to
+    # reference-state noise.  The margin is asserted, not assumed.
+    drv2 = STDA(mf, spinadapt=False, nstates=3,
+                select_with_fock=False, tp=8.2e-5)
+    r2 = drv2.kernel()
+    c = drv2.scsf_couplings
+    assert np.abs(np.log(c[c > 0] / 8.2e-5)).min() > np.log(1.08)
+    own = np.array([4.07496994, 5.21657699, 5.93293116])
+    assert np.abs(r2.e * units.HA2EV - own).max() < 5e-3

@@ -88,3 +88,40 @@ def test_union_selection(fh_roks):
     i1, a1 = drv.sel.idx["cva"]
     i2, a2 = drv.sel.idx["cvb"]
     assert np.array_equal(i1, i2) and np.array_equal(a1, a2)
+
+
+def test_subspace_overlap_identity(fh_roks):
+    """A run overlapped with itself is the identity; a huge-window
+    truncated run against the full space scores ~1 on every state
+    (`grad_jp/TDA/tools.py:11` overlap semantics)."""
+    from xtddft_tpu.stda import STDA, subspace_overlap
+
+    full = STDA(fh_roks, Emax=None, cas=False, nstates=5)
+    full.kernel()
+    O_self = subspace_overlap(full, full)
+    assert np.abs(O_self - np.eye(5)).max() < 1e-10
+
+    big = STDA(fh_roks, Emax=1e6, nstates=5)
+    big.kernel()
+    O = subspace_overlap(big, full)
+    assert np.abs(np.max(O, axis=1) - 1.0).max() < 1e-10
+
+
+def test_truncation_scan_and_csv(fh_roks, tmp_path):
+    """Convergence scan over Emax: fidelity vs the full space is high at
+    realistic windows, matched-state energy errors shrink as the window
+    opens, and the CSV export round-trips (`tools.py:97
+    save_appro_result` equivalent)."""
+    from xtddft_tpu.stda import truncation_scan, save_scan_csv
+
+    scan = truncation_scan(
+        fh_roks, [dict(Emax=15.0), dict(Emax=40.0)], nstates=4)
+    r15, r40 = scan["rows"]
+    assert r15["dim"] <= r40["dim"] <= r15["dim_full"]
+    assert min(r40["overlap"]) > 0.95
+    assert max(np.abs(r40["de_ev_vs_matched"])) <= \
+        max(np.abs(r15["de_ev_vs_matched"])) + 1e-9
+    p = tmp_path / "scan.csv"
+    save_scan_csv(scan, str(p))
+    lines = p.read_text().strip().splitlines()
+    assert len(lines) == 1 + 2 * 4 and lines[0].startswith("setting")

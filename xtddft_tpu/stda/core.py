@@ -433,10 +433,14 @@ def perturbative_selection(ctx: STDAContext, pcsf: CSFSet, ncsf: CSFSet,
     monopole terms (the reference's literal behavior); the default also
     includes the Fock and dA couplings (the reference's commented-out
     variant, `os_sTDA.py:795-855`), which matters for ROKS references whose
-    spin Fock matrices have large off-diagonals.  Returns a boolean
-    keep-mask over the concatenated N-CSF list."""
+    spin Fock matrices have large off-diagonals.  Returns (keep, iajb):
+    a boolean keep-mask over the concatenated N-CSF list and the
+    perturbative couplings themselves (exposed so callers can assess
+    threshold robustness — couplings within a few % of ``tp`` make the
+    selected space sensitive to reference-state noise)."""
     if pcsf.dim == 0 or ncsf.dim == 0:
-        return np.zeros(ncsf.dim, dtype=bool)
+        z = np.zeros(ncsf.dim)
+        return z.astype(bool), z
     coup = coupling_matrix(
         ctx, pcsf, ncsf,
         include_fock=select_with_fock, include_sa=select_with_fock,
@@ -444,7 +448,7 @@ def perturbative_selection(ctx: STDAContext, pcsf: CSFSet, ncsf: CSFSet,
     )
     denom = iaia_n[None, :] - iaia_p[:, None] + 1e-10
     iajb = np.sum(coup**2 / denom, axis=0)
-    return iajb >= tp
+    return iajb >= tp, iajb
 
 
 def assemble_A(ctx: STDAContext, sel: CSFSet, correct: bool = False,

@@ -130,7 +130,7 @@ class STDA:
         self.timings["pcsf"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        keep_n = core.perturbative_selection(
+        keep_n, self.scsf_couplings = core.perturbative_selection(
             ctx, pcsf, ncsf, _vals(pcsf), _vals(ncsf), self.tp,
             select_with_fock=self.select_with_fock,
             sa_cross_sign=self.sa_cross_sign,
