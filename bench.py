@@ -119,43 +119,46 @@ def ttm_real(nroots: int = 10):
 
 
 def ttm_dzp_real(nroots: int = 20):
-    """North-star leg: TTM radical at DZ+P production scale (598 AO,
-    doublet ROKS/B3LYP, density-fitted) — 20 X-TDA roots through the
-    fully-jitted chip Davidson, gated against the stored host-f64
-    Rayleigh-Ritz refined golden (tools/run_ttm_dzp_xtda.py).  The
-    reference's production hot loop at this class of size is
-    `xtddft/XTDA.py:520-543` (AO-direct CuPy J/K per cycle); here the
-    reference state itself was converged by the chip-resident
-    mixed-precision DF-SCF.  Returns None when artifacts are absent."""
-    ck = _DATA / "ttm_dzp_ckpt.npz"
-    gold = _DATA / "golden_ttm_dzp.json"
-    j3c_p = pathlib.Path(__file__).parent / "cache" / "ttm_dzp_j3c.npy"
-    if not (ck.exists() and gold.exists() and j3c_p.exists()):
+    """North-star leg: a TTM-family radical at DZ+P production scale
+    (TTM-1Cz 862 AO preferred, TTM 598 AO otherwise; doublet ROKS/B3LYP,
+    density-fitted) — 20 X-TDA roots through the fully-jitted chip
+    Davidson, gated against the stored host-f64 Rayleigh-Ritz refined
+    golden (tools/run_ttm_dzp_xtda.py).  The reference's production hot
+    loop at this class of size is `xtddft/XTDA.py:520-543` (AO-direct
+    CuPy J/K per cycle); here the reference state itself was converged
+    by the chip-resident mixed-precision DF-SCF.  Returns None when
+    artifacts are absent."""
+    cache_dir = pathlib.Path(__file__).parent / "cache"
+    for tag in ("ttm1cz_dzp", "ttm_dzp"):
+        ck = _DATA / f"{tag}_ckpt.npz"
+        gold = _DATA / f"golden_{tag}.json"
+        bmo_p = cache_dir / f"{tag}_bmo_hi.npy"
+        fockhf_p = cache_dir / f"{tag}_fockhf.npy"
+        if all(p.exists() for p in (ck, gold, bmo_p, fockhf_p)):
+            break
+    else:
         return None
-    import jax
 
     from xtddft_tpu import units
+    from xtddft_tpu.response.production import build_production_state
     from xtddft_tpu.response.reference_state import make_reference
-    from xtddft_tpu.response.sigma_df import (
-        build_df_data,
-        cast_df_data,
-        xtda_sigma_df,
-    )
+    from xtddft_tpu.response.sigma_df import xtda_sigma_df
     from xtddft_tpu.scf.checkpoint import load_mf
     from xtddft_tpu.solver.davidson_jit import davidson_fulljit
 
     g = json.loads(gold.read_text())
     e_ref = np.asarray(g["e_refined_ev"])[:nroots]
-    cpu = jax.devices("cpu")[0]
     mf = load_mf(str(ck))
-    env = mf.env
-    env.set_df_j3c(np.load(j3c_p, mmap_mode="r"))
-    with jax.default_device(cpu):  # f64 host data build (minutes)
-        ref = make_reference(mf)
-        data64 = build_df_data(ref)
-    naux = int(np.asarray(data64.B).shape[0])
-    ngrid = 0 if data64.grid_w is None else int(np.asarray(data64.grid_w).size)
-    op = xtda_sigma_df(cast_df_data(data64, np.float32))
+    fhf = np.load(fockhf_p)
+    ref = make_reference(mf, fock_hf_mo=(fhf[0], fhf[1]))
+    # cold path: the dressed hi tensors upload straight from the disk
+    # cache (written once by tools/run_ttm_dzp_xtda.py) — no j3c
+    # streaming, no re-dressing, no host f64 twin
+    data32, _ = build_production_state(ref, cache=cache_dir, tag=tag,
+                                       want_f64=False)
+    naux = int(data32.B.shape[0])
+    ngrid = 0 if data32.grid_w is None else int(np.asarray(data32.grid_w).size)
+    op = xtda_sigma_df(data32)
 
     kw = dict(nroots=nroots, init_guess=op.init_guess(nroots), tol=1e-4,
               max_space_factor=8, pick_positive=True, return_info=True)
@@ -166,8 +169,7 @@ def ttm_dzp_real(nroots: int = 20):
     wall = time.perf_counter() - t0
     cycles = int(info["cycles"])
     if not conv.all():
-        op_hi = xtda_sigma_df(cast_df_data(data64, np.float32),
-                              precision="highest")
+        op_hi = xtda_sigma_df(data32, precision="highest")
         kw_hi = dict(kw, init_guess=np.asarray(v32, dtype=np.float32).T)
         t1 = time.perf_counter()
         e32, v32, conv, info = davidson_fulljit(
@@ -178,6 +180,8 @@ def ttm_dzp_real(nroots: int = 20):
     tflops = (matvec_flops(ref.nc, ref.no, ref.nv, naux, ngrid, nroots)
               * cycles / wall / 1e12)
     return {
+        "system": g.get("molecule", tag),
+        "nao": int(g.get("nao", 0)),
         "wall": wall,
         "nconv": int(conv.sum()),
         "nroots": nroots,
@@ -274,7 +278,8 @@ def main():
         dzp_txt = f"ttm-dzp: {dzp['error']}"
     else:
         dzp_txt = (
-            f"real TTM DZ+P 598AO: {dzp['wall']:.2f}s {dzp['nroots']}roots "
+            f"real {dzp['system']} DZ+P {dzp['nao']}AO: "
+            f"{dzp['wall']:.2f}s {dzp['nroots']}roots "
             f"nconv={dzp['nconv']} "
             f"max|de|={dzp['max_dev_ev_vs_f64_golden']*1000:.2f}meV vs "
             f"f64-refined golden, {dzp['tflops']:.0f} TFLOP/s"

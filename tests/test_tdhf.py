@@ -90,6 +90,51 @@ def test_utdhf_closed_shell_equals_r_spectra(h2o_rks):
     assert np.abs(ru.e - union).max() < 5e-6
 
 
+def test_tdhf_df_backend_closed_shell(h2o_rks):
+    """`TDHF(mf, backend='df')` (paired DF (A,B) matvecs + SSF Davidson,
+    `solver/rpa.py`) == dense Casida to DF fit error, for both spin
+    channels — incl. the spin-parity splitting of the U-space pencil."""
+    from xtddft_tpu import units
+    from xtddft_tpu.methods.drivers import TDHF
+
+    for singlet in (True, False):
+        rd = TDHF(h2o_rks, nstates=3, singlet=singlet).kernel()
+        rf = TDHF(h2o_rks, nstates=3, singlet=singlet,
+                  backend="df").kernel()
+        assert rf.converged
+        assert rf.solver.startswith("rpa-davidson")
+        assert np.abs(rd.e - rf.e).max() * units.HA2EV < 5e-3
+        if singlet:
+            assert np.abs(np.abs(rd.osc) - np.abs(rf.osc)).max() < 1e-3
+
+
+def test_utdhf_df_backend_unrestricted():
+    """UTDHF DF backend on a genuinely unrestricted UKS radical — the
+    beta-MO DF tensors (`DFData.B_b`/`phi_b`) enter the beta blocks."""
+    from xtddft_tpu import units
+    from xtddft_tpu.methods.drivers import UTDHF
+
+    mol = Molecule.from_atoms("O 0 0 0; H 0 0 0.97", basis="6-31g", spin=1)
+    mfu = UKS(mol, xc="b3lyp", grid_level=1).kernel()
+    rd = UTDHF(mfu, nstates=4).kernel()
+    rf = UTDHF(mfu, nstates=4, backend="df").kernel()
+    assert rf.converged
+    assert np.abs(rd.e - rf.e).max() * units.HA2EV < 5e-3
+    assert np.abs(rd.ds2 - rf.ds2).max() < 5e-2
+
+
+def test_xtdhf_df_backend(fh_roks_df):
+    """Spin-adapted X-TDHF DF backend (A with dA, bare-coupling B) ==
+    dense X-space pencil."""
+    from xtddft_tpu import units
+    from xtddft_tpu.methods.drivers import XTDHF
+
+    rd = XTDHF(fh_roks_df, nstates=4).kernel()
+    rf = XTDHF(fh_roks_df, nstates=4, backend="df").kernel()
+    assert rf.converged
+    assert np.abs(rd.e - rf.e).max() * units.HA2EV < 5e-3
+
+
 def test_rpa_instability_reported():
     """A deliberately stretched H2 triplet channel: A-B not PD must raise,
     not return complex/garbage roots."""

@@ -19,8 +19,12 @@ splits the work as:
                              the MXU (`scf/jk_device.py`)
 
 Run:
-  python tools/make_ttm_dzp_state.py a     # host integrals -> cache/
-  python tools/make_ttm_dzp_state.py b     # chip SCF -> tests/data ckpt
+  python tools/make_ttm_dzp_state.py a [geometry]  # host integrals -> cache/
+  python tools/make_ttm_dzp_state.py b [geometry]  # chip SCF -> tests/data ckpt
+
+``geometry`` is any radical from `chem/geometries.py` (default
+``ttm_vacuum``, 598 AO; ``ttm1cz_vacuum`` is the 862-AO TTM-1Cz
+emissive radical of the reference's benchmark sets).
 """
 
 from __future__ import annotations
@@ -33,12 +37,16 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 ROOT = pathlib.Path(__file__).resolve().parents[1]
 CACHE = ROOT / "cache"
-CKPT = ROOT / "tests" / "data" / "ttm_dzp_ckpt.npz"
 
 BASIS = "dzp"
 AUX_MODE = "jk"
 XC = "b3lyp"
 GRID_LEVEL = 1
+
+GEOM = sys.argv[2] if len(sys.argv) > 2 else "ttm_vacuum"
+# short tag: ttm_vacuum -> ttm_dzp, ttm1cz_vacuum -> ttm1cz_dzp
+TAG = GEOM.replace("_vacuum", "") + "_dzp"
+CKPT = ROOT / "tests" / "data" / f"{TAG}_ckpt.npz"
 
 
 def build_env():
@@ -46,7 +54,7 @@ def build_env():
     from xtddft_tpu.chem import geometries as G
     from xtddft_tpu.scf.env import Env
 
-    mol = Molecule.from_atoms(G.ttm_vacuum, basis=BASIS, spin=1)
+    mol = Molecule.from_atoms(getattr(G, GEOM), basis=BASIS, spin=1)
     return Env(mol, grid_level=GRID_LEVEL, df=True, aux_mode=AUX_MODE)
 
 
@@ -60,13 +68,13 @@ def phase_a():
     t0 = time.time()
     w, U = env.df_metric_eig_host(0.0)
     print(f"metric eig: {time.time()-t0:.0f}s  naux_kept={w.size}", flush=True)
-    np.save(CACHE / "ttm_dzp_metric_w.npy", w)
-    np.save(CACHE / "ttm_dzp_metric_U.npy", U)
+    np.save(CACHE / f"{TAG}_metric_w.npy", w)
+    np.save(CACHE / f"{TAG}_metric_U.npy", U)
 
     t0 = time.time()
     j3c = env.df_j3c_host(0.0)
     print(f"j3c: {time.time()-t0:.0f}s  {j3c.nbytes/1e9:.1f} GB", flush=True)
-    np.save(CACHE / "ttm_dzp_j3c.npy", j3c)
+    np.save(CACHE / f"{TAG}_j3c.npy", j3c)
     print("phase a done", flush=True)
 
 
@@ -77,9 +85,9 @@ def phase_b():
     from xtddft_tpu.scf.checkpoint import save_mf
 
     env = build_env()
-    env.set_df_j3c(np.load(CACHE / "ttm_dzp_j3c.npy", mmap_mode="r"))
-    w = np.load(CACHE / "ttm_dzp_metric_w.npy")
-    U = np.load(CACHE / "ttm_dzp_metric_U.npy")
+    env.set_df_j3c(np.load(CACHE / f"{TAG}_j3c.npy", mmap_mode="r"))
+    w = np.load(CACHE / f"{TAG}_metric_w.npy")
+    U = np.load(CACHE / f"{TAG}_metric_U.npy")
     env._df_meig_cache = {0.0: (w, U)}
 
     mf = ROKS(env.mol, xc=XC, grid_level=GRID_LEVEL, env=env,

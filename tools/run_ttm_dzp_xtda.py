@@ -3,14 +3,18 @@
 Consumes the device DF-SCF checkpoint from `tools/make_ttm_dzp_state.py`
 and the cached host integrals, then:
 
-1. builds the MO-space DF response tensors (f64 on host; B_ov via the
-   on-chip streaming transform when a chip is present),
-2. runs the 20-root fully-jitted Davidson on the chip (f32),
-3. refines by ONE host-f64 Rayleigh-Ritz batch in the converged
+1. builds the MO-space DF response tensors ON THE CHIP via the
+   streaming compensated dressing/transform (`response/production.py`
+   — both the f32 production tensors and, from the same (hi,lo) pairs,
+   their f64 host twins; the host-dressing route is ~1e16 f64 flops at
+   this size, days on this 1-core host),
+2. caches the dressed hi/lo tensors to cache/ (the driver's cold bench
+   uploads hi directly and never re-dresses),
+3. runs the 20-root fully-jitted Davidson on the chip (f32),
+4. refines by ONE host-f64 Rayleigh-Ritz batch in the converged
    subspace (the accuracy statement for the reduced-precision chip
-   solve; ~20 min of host dgemm at this size — done once HERE, so the
-   driver's cold bench can gate against the stored numbers),
-4. writes tests/data/golden_ttm_dzp.json with energies (chip + refined),
+   solve),
+5. writes tests/data/golden_{tag}.json with energies (chip + refined),
    oscillator strengths, wall/cycle counts.
 
 Matches the reference's production hot loop `xtddft/XTDA.py:520-543`
@@ -34,6 +38,11 @@ CACHE = ROOT / "cache"
 DATA = ROOT / "tests" / "data"
 NROOTS = 20
 
+# geometry tag: `python tools/run_ttm_dzp_xtda.py [geometry]` (default
+# ttm_vacuum/598 AO; ttm1cz_vacuum = 862-AO TTM-1Cz)
+GEOM = sys.argv[1] if len(sys.argv) > 1 else "ttm_vacuum"
+TAG = GEOM.replace("_vacuum", "") + "_dzp"
+
 
 def main():
     import numpy as np
@@ -43,28 +52,36 @@ def main():
 
     from xtddft_tpu import units
     from xtddft_tpu.props import oscillator
+    from xtddft_tpu.response.production import build_production_state
     from xtddft_tpu.response.reference_state import make_reference
-    from xtddft_tpu.response.sigma_df import (build_df_data, cast_df_data,
-                                              xtda_sigma_df)
+    from xtddft_tpu.response.sigma_df import xtda_sigma_df
     from xtddft_tpu.scf.checkpoint import load_mf
     from xtddft_tpu.solver.davidson_jit import davidson_fulljit
 
-    mf = load_mf(str(DATA / "ttm_dzp_ckpt.npz"))
+    mf = load_mf(str(DATA / f"{TAG}_ckpt.npz"))
     env = mf.env
-    env.set_df_j3c(np.load(CACHE / "ttm_dzp_j3c.npy", mmap_mode="r"))
-    w = np.load(CACHE / "ttm_dzp_metric_w.npy")
-    U = np.load(CACHE / "ttm_dzp_metric_U.npy")
+    env.set_df_j3c(np.load(CACHE / f"{TAG}_j3c.npy", mmap_mode="r"))
+    w = np.load(CACHE / f"{TAG}_metric_w.npy")
+    U = np.load(CACHE / f"{TAG}_metric_U.npy")
     env._df_meig_cache = {0.0: (w, U)}
 
     cpu = jax.devices("cpu")[0]
     t0 = time.time()
+    fockhf_p = CACHE / f"{TAG}_fockhf.npy"
+    if fockhf_p.exists():
+        fhf = np.load(fockhf_p)
+        ref = make_reference(mf, fock_hf_mo=(fhf[0], fhf[1]))
+    else:
+        ref = make_reference(mf)  # jk='auto': chip J/K for the dA Fock
+        np.save(fockhf_p, np.stack([ref.fock_a_hf_mo, ref.fock_b_hf_mo]))
+    print(f"reference (device dA Fock): {time.time()-t0:.0f}s", flush=True)
+    t0 = time.time()
+    data32, data64 = build_production_state(ref, cache=CACHE, tag=TAG)
+    print(f"chip streaming state build: {time.time()-t0:.0f}s", flush=True)
     with jax.default_device(cpu):
-        ref = make_reference(mf)
-        data64 = build_df_data(ref)
         op64 = xtda_sigma_df(data64)
-    print(f"host f64 DF data: {time.time()-t0:.0f}s", flush=True)
 
-    op = xtda_sigma_df(cast_df_data(data64, np.float32))
+    op = xtda_sigma_df(data32)
     kw = dict(nroots=NROOTS, init_guess=op.init_guess(NROOTS), tol=None,
               max_space_factor=8, pick_positive=True, return_info=True)
     t0 = time.time()
@@ -95,7 +112,7 @@ def main():
     osc = oscillator.spin_conserving_osc(ref, e64, vb)
 
     out = {
-        "molecule": "ttm_vacuum",
+        "molecule": GEOM,
         "basis": "dzp",
         "aux_mode": "jk",
         "xc": "b3lyp",
@@ -113,8 +130,8 @@ def main():
         "max_chip_dev_ev": float(dev),
         "e_scf": float(mf.e_tot),
     }
-    (DATA / "golden_ttm_dzp.json").write_text(json.dumps(out, indent=1))
-    print("wrote", DATA / "golden_ttm_dzp.json", flush=True)
+    (DATA / f"golden_{TAG}.json").write_text(json.dumps(out, indent=1))
+    print("wrote", DATA / f"golden_{TAG}.json", flush=True)
 
 
 if __name__ == "__main__":

@@ -173,6 +173,51 @@ class TDA(_Base):
         return ExcitationResult(e=e, v=v, osc=osc, rot=rot)
 
 
+def _df_rpa_solve(build_data, nroots: int, spin_adapt: bool,
+                  pick_positive: bool = True):
+    """Production DF TDHF/RPA solve: paired (A z, B z) device matvecs
+    (`sigma_df.xtda_sigma_df(with_b=True)`) + the SSF paired Davidson
+    (`solver/rpa.py`).  Mirrors `_df_solve`'s precision recipe: on a TPU
+    backend the pencil iterates in f32 and is refined by one host-f64
+    projected-pencil Rayleigh-Ritz over span(X+Y, X-Y); on CPU it runs
+    f64 directly.  Returns (w, xpy, xmy, conv, op, label)."""
+    import jax
+
+    from xtddft_tpu import config as _config
+    from xtddft_tpu.response.sigma_df import cast_df_data, xtda_sigma_df
+    from xtddft_tpu.solver.rpa import rpa_davidson, rpa_rayleigh_ritz
+
+    on_tpu = _config.is_tpu()
+    op64 = None
+    if on_tpu:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            data64 = build_data()
+            op64 = xtda_sigma_df(data64, spin_adapt=spin_adapt, with_b=True)
+        op = xtda_sigma_df(cast_df_data(data64, np.float32),
+                           spin_adapt=spin_adapt, with_b=True)
+        tol = 1e-4
+    else:
+        op = xtda_sigma_df(build_data(), spin_adapt=spin_adapt, with_b=True)
+        tol = 1e-7
+    nroots = min(nroots, op.dim)
+    w, xpy, xmy, conv = rpa_davidson(
+        op.matvec, op.hdiag, nroots=nroots,
+        init_guess=op.init_guess(nroots), tol=tol,
+        pick_positive=pick_positive,
+    )
+    label = "rpa-davidson"
+    if op64 is not None and xpy.size:
+        with jax.default_device(cpu):
+            V, _ = np.linalg.qr(
+                np.concatenate([xpy, xmy], axis=1).astype(np.float64))
+            w, xpy, xmy = rpa_rayleigh_ritz(
+                op64.matvec, V, nroots,
+                pos_threshold=1e-6 if pick_positive else 0.0)
+        label += "+f64rr"
+    return w, xpy, xmy, conv, op, label
+
+
 class TDHF(_Base):
     """Closed-shell full TDHF/RPA (RHF/RKS reference).
 
@@ -183,9 +228,11 @@ class TDHF(_Base):
     <X+Y|X-Y> = 1; length-gauge osc from X+Y, velocity-gauge rotatory
     strengths from X-Y."""
 
-    def __init__(self, mf, nstates: int = 5, singlet: bool = True):
+    def __init__(self, mf, nstates: int = 5, singlet: bool = True,
+                 backend: str = "auto"):
         super().__init__(mf, nstates)
         self.singlet = singlet
+        self.backend = backend
         if self.ref.no != 0:
             raise ValueError(
                 "TDHF requires a closed-shell (RKS/RHF) reference; use "
@@ -196,6 +243,39 @@ class TDHF(_Base):
         from xtddft_tpu.response.tdhf import rtdhf_dense, solve_casida
 
         ref = self.ref
+        dim = 2 * ref.nc * ref.nv
+        backend = _resolve_backend(ref, self.backend, dim, False)
+        if backend == "df":
+            # solve the spin-resolved pencil (DF sigma layout), then
+            # split by spin parity: a closed-shell reference's U-space
+            # eigenvectors are exactly symmetric (singlet) or
+            # antisymmetric (triplet) in (za, zb); the closed-shell
+            # amplitude is sqrt(2)*za (preserves <X+Y|X-Y> = 1)
+            from xtddft_tpu.response.sigma_df import build_df_data
+
+            w, xpy, xmy, conv, op, label = _df_rpa_solve(
+                lambda: build_df_data(ref), 2 * self.nstates + 2,
+                spin_adapt=False,
+            )
+            na = ref.nc * ref.nv
+            za, zb = xpy[:na], xpy[na:]
+            num = np.einsum("ds,ds->s", za, zb)
+            den = (np.linalg.norm(za, axis=0) * np.linalg.norm(zb, axis=0)
+                   + 1e-300)
+            sel = (num / den > 0) if self.singlet else (num / den < 0)
+            idx = np.where(sel)[0][: self.nstates]
+            e = w[idx]
+            xpy_cs = np.sqrt(2.0) * za[:, idx]
+            xmy_cs = np.sqrt(2.0) * xmy[:na, idx]
+            if self.singlet:
+                osc = oscillator.closed_shell_osc(ref, e, xpy_cs)
+                rot = oscillator.closed_shell_rot(ref, e, xmy_cs)
+            else:
+                osc = np.zeros(e.shape[0])
+                rot = np.zeros(e.shape[0])
+            return ExcitationResult(
+                e=e, v=xpy_cs, osc=osc, rot=rot, v_xmy=xmy_cs,
+                converged=bool(np.all(conv)), solver=label)
         A, B = rtdhf_dense(ref, self.singlet)
         e, xpy, xmy = solve_casida(A, B, self.nstates)
         if self.singlet:
@@ -210,19 +290,40 @@ class TDHF(_Base):
 
 class UTDHF(_Base):
     """Unrestricted full TDHF/RPA in the blocked CV(a)|OV(a)|CO(b)|CV(b)
-    layout (the response layer behind `xtddft/grad_jp/grad/utdhf.py:13`)."""
+    layout (the response layer behind `xtddft/grad_jp/grad/utdhf.py:13`).
+
+    backend='df' (auto above the dense size gate) is the matrix-free
+    production path: paired DF (A,B) matvecs + SSF Davidson."""
+
+    def __init__(self, mf, nstates: int = 5, backend: str = "auto"):
+        super().__init__(mf, nstates)
+        self.backend = backend
 
     def kernel(self) -> ExcitationResult:
         from xtddft_tpu.response.tdhf import solve_casida, utdhf_dense
 
         ref = self.ref
-        A, B = utdhf_dense(ref)
-        e, xpy, xmy = solve_casida(A, B, self.nstates)
+        dim = (ref.nc + ref.no) * ref.nv + ref.nc * (ref.no + ref.nv)
+        backend = _resolve_backend(ref, self.backend, dim, False)
+        if backend == "df":
+            from xtddft_tpu.response.sigma_df import build_df_data
+
+            w, xpy_n, xmy_n, conv, op, label = _df_rpa_solve(
+                lambda: build_df_data(ref), self.nstates, spin_adapt=False)
+            e = w
+            xpy = op.to_blocked(xpy_n)
+            xmy = op.to_blocked(xmy_n)
+            converged = bool(np.all(conv))
+        else:
+            A, B = utdhf_dense(ref)
+            e, xpy, xmy = solve_casida(A, B, self.nstates)
+            converged, label = True, "dense-casida"
         osc = oscillator.spin_conserving_osc(ref, e, xpy)
         rot = oscillator.spin_conserving_rot(ref, e, xmy)
         ds2 = spin.utda_delta_s2(ref, xpy)
         return ExcitationResult(e=e, v=xpy, osc=osc, rot=rot, ds2=ds2,
-                                v_xmy=xmy, solver="dense-casida")
+                                v_xmy=xmy, converged=converged,
+                                solver=label)
 
 
 class XTDHF(_Base):
@@ -235,8 +336,9 @@ class XTDHF(_Base):
     and feeds Y=0 TDA amplitudes through an X+-Y-capable gradient; no
     X-space (A,B) solve exists there."""
 
-    def __init__(self, mf, nstates: int = 5):
+    def __init__(self, mf, nstates: int = 5, backend: str = "auto"):
         super().__init__(mf, nstates)
+        self.backend = backend
         if not self.ref.restricted_open:
             raise ValueError("XTDHF requires a ROKS/ROHF reference")
 
@@ -244,13 +346,28 @@ class XTDHF(_Base):
         from xtddft_tpu.response.tdhf import solve_casida, xtdhf_dense
 
         ref = self.ref
-        A, B = xtdhf_dense(ref)
-        e, xpy, xmy = solve_casida(A, B, self.nstates)
+        dim = (ref.nc + ref.no) * ref.nv + ref.nc * (ref.no + ref.nv)
+        backend = _resolve_backend(ref, self.backend, dim, False)
+        if backend == "df":
+            # production X-TDHF: spin-adapted A (dA on), bare-coupling B
+            from xtddft_tpu.response.sigma_df import build_df_data
+
+            w, xpy_n, xmy_n, conv, op, label = _df_rpa_solve(
+                lambda: build_df_data(ref), self.nstates, spin_adapt=True)
+            e = w
+            xpy = op.to_blocked(xpy_n)
+            xmy = op.to_blocked(xmy_n)
+            converged = bool(np.all(conv))
+        else:
+            A, B = xtdhf_dense(ref)
+            e, xpy, xmy = solve_casida(A, B, self.nstates)
+            converged, label = True, "dense-casida"
         osc = oscillator.spin_conserving_osc(ref, e, xpy)
         rot = oscillator.spin_conserving_rot(ref, e, xmy)
         ds2 = spin.xtda_delta_s2(ref, xpy)
         return ExcitationResult(e=e, v=xpy, osc=osc, rot=rot, ds2=ds2,
-                                v_xmy=xmy, solver="dense-casida")
+                                v_xmy=xmy, converged=converged,
+                                solver=label)
 
 
 class UTDA(_Base):

@@ -70,6 +70,12 @@ def shard_df_data(data, mesh: Mesh):
     kw = {"B": jax.device_put(_pad(data.B, 0), sh_aux)}
     if data.B_lr is not None:
         kw["B_lr"] = jax.device_put(_pad(data.B_lr, 0), sh_aux)
+    if data.B_b is not None:
+        kw["B_b"] = jax.device_put(_pad(data.B_b, 0), sh_aux)
+    if data.B_lr_b is not None:
+        kw["B_lr_b"] = jax.device_put(_pad(data.B_lr_b, 0), sh_aux)
+    if data.phi_b is not None:
+        kw["phi_b"] = jax.device_put(_pad(data.phi_b, 1), sh_phi)
     if data.phi is not None:
         kw["phi"] = jax.device_put(_pad(data.phi, 1), sh_phi)
         kw["grid_w"] = jax.device_put(_pad(data.grid_w, 0), sh_grid_lead)

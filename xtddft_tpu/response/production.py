@@ -1,0 +1,159 @@
+"""Production-scale DF response state build: every O(N^4) contraction
+on the chip, nothing bigger than nao^2 computed in host f64.
+
+`build_df_data` (`sigma_df.py`) prepares the response tensors with host
+dressing + host MO transforms — fine to ~200 AO, hopeless at production
+sizes on a 1-core host (TTM/dzp 598 AO: the metric dressing alone is
+1.1e16 f64 flops).  The reference sidesteps state preparation entirely
+by taking pyscf-converged objects and in-core AO tensors
+(`/root/reference/xtddft/XTDA_GPU.py` consumes `mf` + host einsums); a
+TPU-native framework has to own it.  This module builds the same
+`DFData` through the streaming compensated-arithmetic device builders
+(`scf/df_build.py`):
+
+    j3c (host mmap) --h2d--> MO transform --> metric dressing   [chip,
+        double-single (hi,lo) f32 pairs, ~2^-45 relative]
+    grid AO (host)  --h2d--> MO transform                        [chip]
+
+yielding BOTH precisions from one pass:
+
+  * the f32 production operator: `DFData(B=hi, phi=phi_hi, ...)`,
+    already device-resident — no cast, no re-upload;
+  * the f64 refinement operator: hi + lo joined on host (exact to the
+    compensated build's ~5e-8 f32-pair floor, `utils/dsmat.py` header)
+    for the Rayleigh-Ritz accuracy statement of the chip solve.
+
+The joined f64 tensors can be disk-cached (`cache=`): the driver's cold
+bench then skips the build entirely and uploads the stored hi tensor
+(~seconds) instead of re-dressing (~minutes).
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import numpy as np
+
+__all__ = ["build_production_state"]
+
+
+def build_production_state(ref, cache: str | pathlib.Path | None = None,
+                           tag: str = "prod", aux_chunk: int = 256,
+                           b_dtype=np.float32, want_f64: bool = True):
+    """Returns (data32, data64): the chip-resident reduced-precision
+    `DFData` and its host-f64 twin for refinement.
+
+    want_f64=False skips assembling the host-f64 B (an 11+ GB allocation
+    at production sizes) and returns data64=None — the bench cold path,
+    which only runs the chip solve against a stored golden.
+
+    ref:    `Reference` (ROKS/ROHF or closed-shell; UKS production
+            references would need the beta twin tensors — not plumbed).
+    cache:  directory for the dressed-tensor disk cache; when the cached
+            arrays exist the chip build is skipped and the hi halves are
+            uploaded directly (the bench cold path).
+    b_dtype: dtype of the device B for the solve (np.float32 headline;
+            jnp.bfloat16 halves HBM at 862-AO-class sizes).
+
+    Requires `ref.env` to be in DF mode with the raw j3c available
+    (`env.set_df_j3c` mmap injection or `df_j3c_host`).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from xtddft_tpu.grids import eval_ao
+    from xtddft_tpu.response.sigma_df import DFData
+    from xtddft_tpu.scf.df_build import build_bmo_device, transform_mo_device
+
+    if ref.mo_b is not ref.mo_a and not np.array_equal(ref.mo_a, ref.mo_b):
+        raise NotImplementedError(
+            "production build covers R/RO references (shared spatial "
+            "orbitals); UKS needs the beta twin tensors")
+    if ref.omega != 0.0 and abs(ref.alpha - ref.hyb) > 1e-12:
+        raise NotImplementedError(
+            "production build has no long-range (RSH) leg yet; "
+            "use build_df_data")
+
+    env = ref.env
+    mo = np.asarray(ref.mo_a, dtype=np.float64)
+    nmo = mo.shape[1]
+    cache = pathlib.Path(cache) if cache is not None else None
+
+    def _cached(name):
+        return cache / f"{tag}_{name}.npy" if cache is not None else None
+
+    # ---- B^MO (hi, lo) ---------------------------------------------------
+    bhi_p, blo_p = _cached("bmo_hi"), _cached("bmo_lo")
+    if bhi_p is not None and bhi_p.exists() and blo_p.exists():
+        Bhi_np = np.load(bhi_p, mmap_mode="r")
+        Blo_np = np.load(blo_p, mmap_mode="r")
+        Bhi = jnp.asarray(np.ascontiguousarray(Bhi_np))
+        Blo_dev = None
+    else:
+        Bhi, Blo = build_bmo_device(
+            env.df_metric_eig_host(0.0), env.df_j3c_host(0.0), mo,
+            aux_chunk=aux_chunk)
+        Bhi_np = np.asarray(Bhi)   # d2h once, for the f64 twin + cache
+        Blo_np = np.asarray(Blo)
+        if bhi_p is not None:
+            np.save(bhi_p, Bhi_np)
+            np.save(blo_p, Blo_np)
+        Blo_dev = Blo
+        del Blo
+    B64 = Bhi_np.astype(np.float64) + Blo_np if want_f64 else None
+    if Blo_dev is not None:
+        # the lo half has served its purpose on device; free the HBM
+        Blo_dev.delete()
+
+    # ---- grid tensors (hybrid-DFT references) -----------------------------
+    phi_hi = phi64 = grid_w32 = grid_w64 = rho0_32 = rho0_64 = None
+    if ref.spec is not None and ref.spec.components:
+        phi_hi_p, phi_lo_p = _cached("phimo_hi"), _cached("phimo_lo")
+        if phi_hi_p is not None and phi_hi_p.exists() and phi_lo_p.exists():
+            phi_hi_np = np.load(phi_hi_p, mmap_mode="r")
+            phi64 = phi_hi_np.astype(np.float64) + np.load(
+                phi_lo_p, mmap_mode="r")
+            phi_hi = jnp.asarray(np.ascontiguousarray(phi_hi_np))
+        else:
+            ao = np.asarray(eval_ao(env.layout, env.grid.coords, deriv=1))
+            phi_hi, phi_lo = transform_mo_device(ao, mo)
+            phi_hi_np = np.asarray(phi_hi)
+            phi_lo_np = np.asarray(phi_lo)
+            if phi_hi_p is not None:
+                np.save(phi_hi_p, phi_hi_np)
+                np.save(phi_lo_p, phi_lo_np)
+            phi64 = phi_hi_np.astype(np.float64) + phi_lo_np
+            phi_lo.delete()
+        grid_w64 = np.asarray(env.grid.weights, dtype=np.float64)
+        grid_w32 = jnp.asarray(grid_w64.astype(np.float32))
+        # rho0 from the occupied MO values: exact given phi64, O(ngrid nocc)
+        rho0_64 = _rho0_from_phimo(phi64, ref)
+        rho0_32 = tuple(jnp.asarray(np.asarray(r, dtype=np.float32))
+                        for r in rho0_64)
+
+    fock_mo = np.stack([ref.fock_a_mo, ref.fock_b_mo])
+    fock_hf = None
+    if ref.restricted_open and ref.fock_a_hf_mo is not None:
+        fock_hf = np.stack([ref.fock_a_hf_mo, ref.fock_b_hf_mo])
+
+    common = dict(nc=ref.nc, no=ref.no, nv=ref.nv, hyb=ref.hyb,
+                  spec=ref.spec, fock_mo=fock_mo, fock_hf_mo=fock_hf)
+    B_dev = Bhi if b_dtype == np.float32 else Bhi.astype(b_dtype)
+    data32 = DFData(B=B_dev, phi=phi_hi, grid_w=grid_w32, rho0=rho0_32,
+                    **common)
+    data64 = (DFData(B=B64, phi=phi64, grid_w=grid_w64, rho0=rho0_64,
+                     **common) if want_f64 else None)
+    return data32, data64
+
+
+def _rho0_from_phimo(phi64: np.ndarray, ref):
+    """(ra, rb, ga, gb) ground-state densities/gradients on the grid from
+    the MO-basis grid table — same contract as `sigma._rho0_jnp` but
+    O(ngrid nocc) given phi instead of O(ngrid nao^2)."""
+    pa = phi64[:, :, : ref.nocc_a]
+    pb = phi64[:, :, : ref.nocc_b]
+    ra = np.einsum("gi,gi->g", pa[0], pa[0])
+    rb = np.einsum("gi,gi->g", pb[0], pb[0])
+    ga = 2.0 * np.einsum("xgi,gi->xg", pa[1:4], pa[0])
+    gb = 2.0 * np.einsum("xgi,gi->xg", pb[1:4], pb[0])
+    return ra, rb, ga, gb

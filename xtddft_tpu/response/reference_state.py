@@ -111,7 +111,19 @@ def _cov_order(mo_occ: np.ndarray) -> np.ndarray:
     return np.concatenate([core, open_, virt])
 
 
-def make_reference(mf: MeanField) -> Reference:
+def make_reference(mf: MeanField, jk: str = "auto",
+                   fock_hf_mo=None) -> Reference:
+    """jk: how the dA ingredient (HF-flavored Fock on the SCF density)
+    is built for restricted-open references — 'host' contracts the
+    host-dressed DF tensors / in-core ERIs (`env.get_j/get_k`; fine to
+    ~200 AO), 'device' routes through the chip J/K engine in
+    compensated refined mode (the only viable path at production sizes,
+    where the host dressing is 1e16 flops).  'auto' picks 'device' for
+    DF references above 300 AO on a non-CPU backend.
+
+    fock_hf_mo: optional precomputed (fa_hf_mo, fb_hf_mo) pair in the
+    c|o|v MO ordering (e.g. reloaded from a production state cache) —
+    skips the J/K build entirely."""
     env = mf.env
     if mf.is_unrestricted:
         occ_a, occ_b = mf.mo_occ[0], mf.mo_occ[1]
@@ -137,20 +149,39 @@ def make_reference(mf: MeanField) -> Reference:
     fock_a_mo = mo_a.T @ mf.fock_a @ mo_a
     fock_b_mo = mo_b.T @ mf.fock_b @ mo_b
 
-    if restricted_open:
-        # HF-flavored veff on the converged (DFT) density
-        import jax.numpy as jnp
+    if restricted_open and fock_hf_mo is not None:
+        fa_hf_mo, fb_hf_mo = fock_hf_mo
+    elif restricted_open:
+        if jk == "auto":
+            from xtddft_tpu import config as _config
 
-        dm = mf.make_rdm1()
-        da, db = jnp.asarray(dm[0]), jnp.asarray(dm[1])
-        J = env.get_j(da + db)
-        Ka = env.get_k(da)
-        Kb = env.get_k(db)
-        h = np.asarray(env.hcore)
-        fa_hf = h + np.asarray(J - Ka)
-        fb_hf = h + np.asarray(J - Kb)
-        fa_hf_mo = mo_a.T @ fa_hf @ mo_a
-        fb_hf_mo = mo_b.T @ fb_hf @ mo_b
+            jk = ("device" if (env.df and env.nao > 300
+                               and _config.is_tpu()) else "host")
+        if jk == "device":
+            from xtddft_tpu.scf.jk_device import DeviceVeff
+
+            Ca = np.asarray(mo_a[:, : nc + no], dtype=np.float64)
+            Cb = np.asarray(mo_b[:, : nc], dtype=np.float64)
+            dev = DeviceVeff(env, None)  # spec=None -> hyb=1: veff = J-K
+            va, vb, _ = dev.veff(Ca, Cb, mode="refined")
+            del dev  # free the AO-basis device B before the response build
+            h = np.asarray(env.hcore)
+            fa_hf_mo = mo_a.T @ (h + va) @ mo_a
+            fb_hf_mo = mo_b.T @ (h + vb) @ mo_b
+        else:
+            # HF-flavored veff on the converged (DFT) density
+            import jax.numpy as jnp
+
+            dm = mf.make_rdm1()
+            da, db = jnp.asarray(dm[0]), jnp.asarray(dm[1])
+            J = env.get_j(da + db)
+            Ka = env.get_k(da)
+            Kb = env.get_k(db)
+            h = np.asarray(env.hcore)
+            fa_hf = h + np.asarray(J - Ka)
+            fb_hf = h + np.asarray(J - Kb)
+            fa_hf_mo = mo_a.T @ fa_hf @ mo_a
+            fb_hf_mo = mo_b.T @ fb_hf @ mo_b
 
     return Reference(
         mf=mf,

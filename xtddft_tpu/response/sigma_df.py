@@ -58,6 +58,13 @@ class DFData:
     # coefficient (alpha - hyb) it enters with (`xtddft/XTDA.py:94-99`)
     B_lr: jnp.ndarray | None = None
     hyb_lr: float = 0.0
+    # genuinely-unrestricted (UHF/UKS) references carry beta-MO
+    # transforms of the same AO tensors; None means the beta spatial
+    # orbitals equal the alpha ones (R/RO references) and `B`/`phi`
+    # serve both spins
+    B_b: jnp.ndarray | None = None
+    B_lr_b: jnp.ndarray | None = None
+    phi_b: jnp.ndarray | None = None
 
     @property
     def nmo(self):
@@ -87,15 +94,26 @@ def build_df_data(ref: Reference, beta: float | None = None) -> DFData:
     if beta is not None and beta != env.aux_beta:
         env = Env(env.mol, grid_level=env.grid_level, df=True, aux_beta=beta)
     mo = ref.mo_a
+    # UHF/UKS references have genuinely different beta spatial orbitals
+    # (`reference_state.py:120-121` vs the shared `mo_a = mo_b` of the
+    # R/RO branch): the beta blocks of the sigma then need beta-MO
+    # transforms of the same fitted AO tensors
+    unrestricted = ref.mo_b is not ref.mo_a and not np.array_equal(
+        ref.mo_a, ref.mo_b)
     B = _mo_transform(env.df_B(0.0), mo)
-    B_lr = None
+    B_b = _mo_transform(env.df_B(0.0), ref.mo_b) if unrestricted else None
+    B_lr = B_lr_b = None
     hyb_lr = 0.0
     if ref.omega != 0.0 and abs(ref.alpha - ref.hyb) > 1e-12:
         B_lr = _mo_transform(env.df_B(ref.omega), mo)
+        if unrestricted:
+            B_lr_b = _mo_transform(env.df_B(ref.omega), ref.mo_b)
         hyb_lr = ref.alpha - ref.hyb
-    phi = grid_w = rho0 = None
+    phi = phi_b = grid_w = rho0 = None
     if ref.spec is not None and ref.spec.components:
         phi = jnp.einsum("xgm,mp->xgp", env.ao, jnp.asarray(mo))
+        if unrestricted:
+            phi_b = jnp.einsum("xgm,mp->xgp", env.ao, jnp.asarray(ref.mo_b))
         grid_w = env.grid_weights
         from xtddft_tpu.response.sigma import _rho0_jnp
 
@@ -110,6 +128,7 @@ def build_df_data(ref: Reference, beta: float | None = None) -> DFData:
         nc=ref.nc, no=ref.no, nv=ref.nv, B=B, fock_mo=fock_mo,
         hyb=ref.hyb, spec=ref.spec, phi=phi, grid_w=grid_w, rho0=rho0,
         fock_hf_mo=fock_hf, B_lr=B_lr, hyb_lr=hyb_lr,
+        B_b=B_b, B_lr_b=B_lr_b, phi_b=phi_b,
     )
 
 
@@ -133,6 +152,12 @@ def cast_df_data(data: DFData, dtype=np.float32, b_dtype=None,
     }
     if data.B_lr is not None:
         kw["B_lr"] = jnp.asarray(data.B_lr, dtype=bd)
+    if data.B_b is not None:
+        kw["B_b"] = jnp.asarray(data.B_b, dtype=bd)
+    if data.B_lr_b is not None:
+        kw["B_lr_b"] = jnp.asarray(data.B_lr_b, dtype=bd)
+    if data.phi_b is not None:
+        kw["phi_b"] = jnp.asarray(data.phi_b, dtype=dtype)
     if data.fock_hf_mo is not None:
         kw["fock_hf_mo"] = np.asarray(data.fock_hf_mo, dtype=dtype)
     if data.phi is not None:
@@ -212,8 +237,20 @@ def synthetic_df_data(nmo=1000, nc=78, no=2, naux=2000, ngrid=49152,
 
 def xtda_sigma_df(data: DFData, spin_adapt: bool = True,
                   dtype=None, spmd: bool = False,
-                  precision: str | None = None) -> SigmaOperator:
+                  precision: str | None = None,
+                  with_b: bool = False) -> SigmaOperator:
     """Spin-conserving (U/X-)TDA sigma over DF tensors.
+
+    with_b=True turns the operator into the full TDHF/RPA pair: matvec
+    returns the stacked (2, nz, dim) array [A z, B z], where B is the
+    RPA coupling B_ia,jb = (ia|jb) - cx (ib|ja) + fxc (exchange
+    same-spin only; no Fock or dA terms — B couples single excitations
+    through two-electron integrals only, see `response/tdhf.py`).  The
+    Coulomb/fxc intermediates are shared with the A pass, so the pair
+    costs ~1.5 A-matvecs.  Consumed by `solver/rpa.rpa_davidson` — the
+    matrix-free production TDHF path (the reference's TDHF exists only
+    through pyscf's in-core ``tdscf.TDHF`` at gradient-validation scale,
+    `xtddft/grad_jp/grad/rtdhf.py:13`).
 
     precision: None uses the backend default matmul precision (TPU:
     fast bf16-pass MXU matmuls, the headline speed mode) — 'highest'
@@ -253,6 +290,13 @@ def xtda_sigma_df(data: DFData, spin_adapt: bool = True,
     hyb_lr = data.hyb_lr
     if has_lr:
         consts["B_lr"] = data.B_lr
+    # UHF/UKS: beta-MO-transformed tensors for the beta blocks
+    # (trace-time dict-key selection, so R/RO references keep the
+    # single-tensor path bit-identical)
+    if data.B_b is not None:
+        consts["B_b"] = data.B_b
+        if has_lr and data.B_lr_b is not None:
+            consts["B_lr_b"] = data.B_lr_b
     if has_xc:
         from xtddft_tpu.xc.interface import _sanitize
 
@@ -276,6 +320,10 @@ def xtda_sigma_df(data: DFData, spin_adapt: bool = True,
         consts["phi_c"] = jnp.moveaxis(
             _chunked(jnp.moveaxis(data.phi, 0, 1)), 2, 1
         )  # (ngc, 4, gc, nmo)
+        if data.phi_b is not None:
+            consts["phi_b_c"] = jnp.moveaxis(
+                _chunked(jnp.moveaxis(data.phi_b, 0, 1)), 2, 1
+            )
         consts["w_c"] = _chunked(w_s)
         ra_s, rb_s, ga_s, gb_s = rho_s
         consts["rho_c"] = (
@@ -332,16 +380,39 @@ def xtda_sigma_df(data: DFData, spin_adapt: bool = True,
         t = jnp.moveaxis(t_chunks, 0, 1).reshape(nz, -1)
         return t, K
 
+    def _k2(B, z, o, v):
+        """RPA B-coupling exchange (ib|ja) z_jb for one spin block,
+        aux-chunked like `_jk` (the T intermediate here is
+        nz*chunk*nvir^2, so the chunk budget uses the vv footprint)."""
+        naux = B.shape[0]
+        nz, nocc, nvir = z.shape
+        chunk = naux if spmd else _aux_chunk(naux, nz, nvir, nvir)
+        Br = B.reshape(naux // chunk, chunk, *B.shape[1:])
+
+        def body(acc, Bc):
+            T = jnp.einsum("Pja,xjb->xPab", Bc[:, o, v], z)
+            acc = acc + jnp.einsum("Pib,xPab->xia", Bc[:, o, v], T)
+            return acc, None
+
+        K0 = jnp.zeros((nz, nocc, nvir), dtype=z.dtype)
+        K2, _ = jax.lax.scan(body, K0, Br)
+        return K2
+
     def _fxc(C, za, zb):
         """Grid-chunked fxc response (lax.scan over grid blocks); all
-        intermediates are (batch, gc, nocc)-sized."""
+        intermediates are (batch, gc, nocc)-sized.  Unrestricted
+        references scan a second (beta-MO) grid table for the beta-spin
+        density response/backprojection."""
+        has_pb = "phi_b_c" in C
 
         def body(acc, xs):
-            phi_ch, w_ch, rho_ch, mask_ch = xs
-            p0 = phi_ch[0]
-            p1 = phi_ch[1:4]
+            if has_pb:
+                phi_ch, phib_ch, w_ch, rho_ch, mask_ch = xs
+            else:
+                phi_ch, w_ch, rho_ch, mask_ch = xs
+                phib_ch = phi_ch
 
-            def rho1(z, o, v):
+            def rho1(z, o, v, p0, p1):
                 tmp = jnp.einsum("xov,gv->xgo", z, p0[:, v])  # (x, gc, nocc)
                 r = jnp.einsum("xgo,go->xg", tmp, p0[:, o])
                 g = jnp.einsum("xgo,ygo->xyg", tmp, p1[:, :, o])
@@ -352,15 +423,15 @@ def xtda_sigma_df(data: DFData, spin_adapt: bool = True,
                     jnp.where(mask_ch[None, None], g, 0.0),
                 )
 
-            ra1, ga1 = rho1(za, oa, va)
-            rb1, gb1 = rho1(zb, ob, vb)
+            ra1, ga1 = rho1(za, oa, va, phi_ch[0], phi_ch[1:4])
+            rb1, gb1 = rho1(zb, ob, vb, phib_ch[0], phib_ch[1:4])
 
             def one(args):
                 return respond(w_ch, rho_ch, args)
 
             dwva, dwvb, dwga, dwgb = jax.vmap(one)((ra1, rb1, ga1, gb1))
 
-            def back(dwv, dwg, o, v):
+            def back(dwv, dwg, o, v, p0, p1):
                 tmp = jnp.einsum("xg,go->xgo", dwv, p0[:, o])
                 tmp = tmp + jnp.einsum("xyg,ygo->xgo", dwg, p1[:, :, o])
                 r = jnp.einsum("xgo,gv->xov", tmp, p0[:, v])
@@ -370,8 +441,8 @@ def xtda_sigma_df(data: DFData, spin_adapt: bool = True,
 
             va_acc, vb_acc = acc
             return (
-                va_acc + back(dwva, dwga, oa, va),
-                vb_acc + back(dwvb, dwgb, ob, vb),
+                va_acc + back(dwva, dwga, oa, va, phi_ch[0], phi_ch[1:4]),
+                vb_acc + back(dwvb, dwgb, ob, vb, phib_ch[0], phib_ch[1:4]),
             ), None
 
         nz = za.shape[0]
@@ -379,12 +450,16 @@ def xtda_sigma_df(data: DFData, spin_adapt: bool = True,
             jnp.zeros((nz, nocca, nvira), dtype=za.dtype),
             jnp.zeros((nz, noccb, nvirb), dtype=zb.dtype),
         )
-        xs = (C["phi_c"], C["w_c"], C["rho_c"], C["mask_c"])
+        if has_pb:
+            xs = (C["phi_c"], C["phi_b_c"], C["w_c"], C["rho_c"], C["mask_c"])
+        else:
+            xs = (C["phi_c"], C["w_c"], C["rho_c"], C["mask_c"])
         (fxa, fxb), _ = jax.lax.scan(body, acc0, xs)
         return fxa, fxb
 
     def _matvec_body(C, zs):
         B = C["B"]
+        Bb = C["B_b"] if "B_b" in C else B
         fa = C["fa"]
         fb = C["fb"]
         zs = jnp.asarray(zs, dtype=acc)
@@ -394,23 +469,39 @@ def xtda_sigma_df(data: DFData, spin_adapt: bool = True,
         za_b = za.astype(B.dtype)
         zb_b = zb.astype(B.dtype)
         ta, Ka = _jk(B, za_b, oa, va)
-        tb, Kb = _jk(B, zb_b, ob, vb)
+        tb, Kb = _jk(Bb, zb_b, ob, vb)
         t = ta + tb
-        v1a = jnp.einsum("Pia,xP->xia", B[:, oa, va], t).astype(acc)
-        v1b = jnp.einsum("Pia,xP->xia", B[:, ob, vb], t).astype(acc)
-        v1a = v1a - hyb * Ka.astype(acc)
-        v1b = v1b - hyb * Kb.astype(acc)
+        ja_c = jnp.einsum("Pia,xP->xia", B[:, oa, va], t).astype(acc)
+        jb_c = jnp.einsum("Pia,xP->xia", Bb[:, ob, vb], t).astype(acc)
+        v1a = ja_c - hyb * Ka.astype(acc)
+        v1b = jb_c - hyb * Kb.astype(acc)
         if has_lr:
             # RSH long-range exchange: (alpha-hyb) * K over the
             # erf-attenuated B (`xtddft/XTDA.py:94-99,520-543` omega split)
-            _, Ka_lr = _jk(C["B_lr"], za_b, oa, va)
-            _, Kb_lr = _jk(C["B_lr"], zb_b, ob, vb)
+            B_lr = C["B_lr"]
+            Bb_lr = C["B_lr_b"] if "B_lr_b" in C else B_lr
+            _, Ka_lr = _jk(B_lr, za_b, oa, va)
+            _, Kb_lr = _jk(Bb_lr, zb_b, ob, vb)
             v1a = v1a - hyb_lr * Ka_lr.astype(acc)
             v1b = v1b - hyb_lr * Kb_lr.astype(acc)
+        fxa = fxb = None
         if has_xc:
             fxa, fxb = _fxc(C, za.astype(C["phi_c"].dtype), zb.astype(C["phi_c"].dtype))
             v1a = v1a + fxa.astype(acc)
             v1b = v1b + fxb.astype(acc)
+        if with_b:
+            # RPA B: shared Coulomb/fxc pieces, (ib|ja)-type exchange,
+            # no Fock/dA terms (`response/tdhf.py:tdhf_b_blocks`)
+            b1a = ja_c - hyb * _k2(B, za_b, oa, va).astype(acc)
+            b1b = jb_c - hyb * _k2(Bb, zb_b, ob, vb).astype(acc)
+            if has_lr:
+                b1a = b1a - hyb_lr * _k2(C["B_lr"], za_b, oa, va).astype(acc)
+                b1b = b1b - hyb_lr * _k2(
+                    C["B_lr_b"] if "B_lr_b" in C else C["B_lr"],
+                    zb_b, ob, vb).astype(acc)
+            if has_xc:
+                b1a = b1a + fxa.astype(acc)
+                b1b = b1b + fxb.astype(acc)
         v1a = v1a + jnp.einsum("xib,ab->xia", za, fa[va, va]) - jnp.einsum(
             "xja,ij->xia", za, fa[oa, oa]
         )
@@ -438,9 +529,15 @@ def xtda_sigma_df(data: DFData, spin_adapt: bool = True,
             )
             v1a = v1a.at[:, :noccb, :].add(coup_a - cross_b)
             v1b = v1b.at[:, :, -nvira:].add(coup_b - cross_a)
-        return jnp.concatenate(
+        az = jnp.concatenate(
             [v1a.reshape(nz, -1), v1b.reshape(nz, -1)], axis=1
         )
+        if not with_b:
+            return az
+        bz = jnp.concatenate(
+            [b1a.reshape(nz, -1), b1b.reshape(nz, -1)], axis=1
+        )
+        return jnp.stack([az, bz])
 
     if precision is None:
         _matvec = jax.jit(_matvec_body)
@@ -514,6 +611,14 @@ def xsf_sigma_df(data: DFData, SA: int = 3, foo: float = 1.0,
     hyb_lr = data.hyb_lr
     if has_lr:
         consts["B_lr"] = data.B_lr
+    # UHF/UKS (USF-TDA, SA=0): the flip-down blocks pair alpha-occupied
+    # with beta-virtual orbitals, so (ij|ab) = sum_P B_a[P,ij] B_b[P,ab]
+    # needs the beta-MO transform on the virtual side (R/RO references
+    # share one MO set and keep the single-tensor path)
+    if data.B_b is not None:
+        consts["B_b"] = data.B_b
+        if has_lr and data.B_lr_b is not None:
+            consts["B_lr_b"] = data.B_lr_b
     if remove:
         consts["vects"] = jnp.asarray(sf_oo_projector(no), dtype=acc)
     has_xc = (
@@ -540,6 +645,8 @@ def xsf_sigma_df(data: DFData, SA: int = 3, foo: float = 1.0,
             ).astype(acc)
             kdim = 4
         consts["phi"] = data.phi
+        if data.phi_b is not None:
+            consts["phi_b"] = data.phi_b
     dA_on = SA > 0 and data.fock_hf_mo is not None and no > 0
     if dA_on:
         si = 0.5 * no
@@ -580,25 +687,48 @@ def xsf_sigma_df(data: DFData, SA: int = 3, foo: float = 1.0,
                 chunk = c
                 break
         Br = B.reshape(naux // chunk, chunk, *B.shape[1:])
-
-        def body(K_acc, Bc):
-            T = jnp.einsum("Pab,xjb->xPja", Bc[:, vb, vb], zb)
-            K_acc = K_acc + jnp.einsum("Pij,xPja->xia", Bc[:, oa, oa], T)
-            return K_acc, None
-
         K0 = jnp.zeros((nz, n_o, n_v), dtype=B.dtype)
-        K, _ = jax.lax.scan(body, K0, Br)
-        vs = -hyb * K.astype(acc)
-        if has_lr:
-            # RSH long-range SF exchange (same omega split as xtda_sigma_df;
-            # B_lr shares the aux layout, so the same chunking divides it)
-            Blr = C["B_lr"].reshape(naux // chunk, chunk, *C["B_lr"].shape[1:])
-            K_lr, _ = jax.lax.scan(body, K0, Blr)
-            vs = vs - hyb_lr * K_lr.astype(acc)
+        if "B_b" in C:
+            # unrestricted: occupied-side slices from the alpha-MO
+            # tensor, virtual-side from the beta-MO tensor
+            def body2(K_acc, Bs):
+                Bc_a, Bc_b = Bs
+                T = jnp.einsum("Pab,xjb->xPja", Bc_b[:, vb, vb], zb)
+                K_acc = K_acc + jnp.einsum(
+                    "Pij,xPja->xia", Bc_a[:, oa, oa], T)
+                return K_acc, None
+
+            Bbr = C["B_b"].reshape(naux // chunk, chunk, *C["B_b"].shape[1:])
+            K, _ = jax.lax.scan(body2, K0, (Br, Bbr))
+            vs = -hyb * K.astype(acc)
+            if has_lr:
+                Blr = C["B_lr"].reshape(
+                    naux // chunk, chunk, *C["B_lr"].shape[1:])
+                Blrb = C["B_lr_b"].reshape(
+                    naux // chunk, chunk, *C["B_lr_b"].shape[1:])
+                K_lr, _ = jax.lax.scan(body2, K0, (Blr, Blrb))
+                vs = vs - hyb_lr * K_lr.astype(acc)
+        else:
+            def body(K_acc, Bc):
+                T = jnp.einsum("Pab,xjb->xPja", Bc[:, vb, vb], zb)
+                K_acc = K_acc + jnp.einsum(
+                    "Pij,xPja->xia", Bc[:, oa, oa], T)
+                return K_acc, None
+
+            K, _ = jax.lax.scan(body, K0, Br)
+            vs = -hyb * K.astype(acc)
+            if has_lr:
+                # RSH long-range SF exchange (same omega split as
+                # xtda_sigma_df; B_lr shares the aux layout, so the same
+                # chunking divides it)
+                Blr = C["B_lr"].reshape(
+                    naux // chunk, chunk, *C["B_lr"].shape[1:])
+                K_lr, _ = jax.lax.scan(body, K0, Blr)
+                vs = vs - hyb_lr * K_lr.astype(acc)
         if has_xc:
             phi = C["phi"]
             po = phi[:, :, oa]
-            pv = phi[:, :, vb]
+            pv = (C["phi_b"] if "phi_b" in C else phi)[:, :, vb]
             # transition density components on the grid
             tmp = jnp.einsum("xov,gv->xgo", z.astype(phi.dtype), pv[0])
             r0 = jnp.einsum("xgo,go->xg", tmp, po[0])

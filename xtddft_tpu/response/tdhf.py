@@ -129,14 +129,21 @@ class RPAInstabilityError(RuntimeError):
     unstable and the RPA pencil has non-real roots."""
 
 
-def solve_casida(A: np.ndarray, B: np.ndarray, nroots: int):
+def solve_casida(A: np.ndarray, B: np.ndarray, nroots: int,
+                 pos_threshold: float = 1e-6):
     """Solve the RPA pencil [[A,B],[B,A]] [X,Y] = w [X,-Y] for real
     orbitals via the symmetrized form.
 
     Returns (w, xpy, xmy): the lowest ``nroots`` excitation energies and
     the (X+Y), (X-Y) vectors as (dim, nroots) columns with
     <X+Y|X-Y> = 1 (pyscf's convention, so amplitudes interoperate with
-    reference-style gradient code)."""
+    reference-style gradient code).
+
+    Roots below ``pos_threshold`` (e.g. the exact zero-frequency spin
+    rotation of an open-shell UHF/UKS reference) are skipped — they are
+    marginal Goldstone modes, not excitations, and the matrix-free DF
+    solver (`solver/rpa.py` pick_positive) makes the same choice, so the
+    two backends return identical state lists.  Pass 0.0 to keep them."""
     S = A - B
     ws, Us = np.linalg.eigh(0.5 * (S + S.T))
     if ws.min() < -1e-9:
@@ -157,6 +164,9 @@ def solve_casida(A: np.ndarray, B: np.ndarray, nroots: int):
     w2, Z = np.linalg.eigh(0.5 * (M + M.T))
     w2 = np.maximum(w2, 0.0)
     w = np.sqrt(w2)
+    if pos_threshold > 0.0:
+        sel = w > pos_threshold
+        w, Z = w[sel], Z[:, sel]
     n = min(nroots, w.shape[0])
     w, Z = w[:n], Z[:, :n]
     sw = np.sqrt(np.where(w > 0, w, 1.0))

@@ -156,6 +156,109 @@ def build_b_device(metric_eig, j3c: np.ndarray,
     return Bhi, (Blo.reshape(naux, nao, nao) if keep_lo else None)
 
 
+def build_bmo_device(metric_eig, j3c: np.ndarray, C: np.ndarray,
+                     aux_chunk: int = 256, col_chunk: int = 1 << 13,
+                     tile: int = 512):
+    """Full-MO dressed tensor B_pq = V^{-1/2} (j3c | C, C) as a
+    chip-resident f32 (hi, lo) pair of shape (naux, nmo, nmo).
+
+    The production response-state build: the reference prepares its
+    GPU tensors by a host einsum ladder over in-core AO ERIs
+    (`/root/reference/xtddft/XTDA_GPU.py` takes pyscf-built tensors);
+    here neither the host dressing (naux^2 nao^2 — 1.1e16 flops at
+    TTM/dzp, days on a 1-core host) nor a host MO transform ever runs:
+    raw j3c streams over once, and both O(N^4) contractions happen on
+    the MXU in compensated double-single arithmetic (~2^-45 relative,
+    `utils/dsmat.py`), so the (hi+lo) sum IS the f64-quality tensor.
+
+    Memory: the (naux, nmo^2) hi/lo pair is the only resident tensor
+    (TTM/dzp 598 AO: 2 x 5.7 GB); the dressing runs in place over
+    column blocks with donated buffers.  Use the pair for compensated
+    refinement, keep only ``hi`` (drop the other half) for the f32
+    production solve.
+
+    Ordering note: dressing (aux-space orthogonal sandwich) commutes
+    with the MO transform (AO-pair-space), so transforming first makes
+    stage 2 cost naux^2 nmo^2 with no AO-basis intermediate at all.
+    """
+    w, U = metric_eig
+    naux, nao = j3c.shape[0], j3c.shape[1]
+    nmo = C.shape[1]
+    ch = _split_dev(C)
+    Thi = jnp.zeros((naux, nmo * nmo), jnp.float32)
+    Tlo = jnp.zeros((naux, nmo * nmo), jnp.float32)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1),
+                       static_argnames=("tile",))
+    def _acc(Th, Tl, bh, bl, off, tile=512):
+        uh, ul = _transform_block(bh, bl, ch[0], ch[1], ch[0], ch[1],
+                                  tile=tile)
+        Th = jax.lax.dynamic_update_slice_in_dim(Th, uh, off, 0)
+        Tl = jax.lax.dynamic_update_slice_in_dim(Tl, ul, off, 0)
+        return Th, Tl
+
+    off = 0
+    while off < naux:
+        q = min(aux_chunk, naux - off)
+        bh, bl = _split_dev(j3c[off:off + q])
+        Thi, Tlo = _acc(Thi, Tlo, bh, bl, jnp.int32(off), tile=tile)
+        jax.block_until_ready(Thi)  # bound in-flight h2d (see build_b_device)
+        off += q
+
+    # stage 2: metric dressing, in place over column blocks.  No column
+    # equilibration here: the MO-space columns are already balanced
+    # (each mixes all AO pairs), and an exact power-of-2 scale would
+    # need a host round-trip per block.
+    uh, ul = _split_dev(U)
+    sh, sl = _split_dev(1.0 / np.sqrt(w))
+    nnull = _nnull(w)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1),
+                       static_argnames=("cc", "nnull", "tile"))
+    def _dress_cols(Th, Tl, off, cc, nnull=0, tile=512):
+        bh = jax.lax.dynamic_slice_in_dim(Th, off, cc, axis=1)
+        bl = jax.lax.dynamic_slice_in_dim(Tl, off, cc, axis=1)
+        ph, pl = _dress(uh, ul, sh, sl, bh, bl, nnull=nnull, tile=tile)
+        Th = jax.lax.dynamic_update_slice_in_dim(Th, ph, off, axis=1)
+        Tl = jax.lax.dynamic_update_slice_in_dim(Tl, pl, off, axis=1)
+        return Th, Tl
+
+    ncol = nmo * nmo
+    off = 0
+    while off < ncol:
+        cc = min(col_chunk, ncol - off)
+        Thi, Tlo = _dress_cols(Thi, Tlo, jnp.int32(off), cc=cc,
+                               nnull=nnull, tile=tile)
+        jax.block_until_ready(Thi)
+        off += cc
+    return Thi.reshape(naux, nmo, nmo), Tlo.reshape(naux, nmo, nmo)
+
+
+def transform_mo_device(X: np.ndarray, C: np.ndarray, tile: int = 512,
+                        chunk: int = 1 << 16):
+    """Row-chunked compensated device matmul X @ C for host-f64 X of
+    shape (..., nao): returns the (hi, lo) f32 device pair reshaped to
+    X.shape[:-1] + (nmo,).  Used for the grid-AO -> grid-MO transform of
+    the response quadrature at production sizes (host dgemm there is
+    ~1e14 flops)."""
+    lead = X.shape[:-1]
+    nao = X.shape[-1]
+    X2 = np.ascontiguousarray(X).reshape(-1, nao)
+    ch = _split_dev(C)
+    nrow = X2.shape[0]
+    hs, ls = [], []
+    for off in range(0, nrow, chunk):
+        bh, bl = _split_dev(X2[off:off + chunk])
+        uh, ul = ts_matmul(bh, bl, ch[0], ch[1], tile=tile)
+        jax.block_until_ready(uh)
+        hs.append(uh)
+        ls.append(ul)
+    nmo = C.shape[1]
+    hi = jnp.concatenate(hs, axis=0).reshape(*lead, nmo)
+    lo = jnp.concatenate(ls, axis=0).reshape(*lead, nmo)
+    return hi, lo
+
+
 @functools.partial(jax.jit, static_argnames=("tile",))
 def _transform_block(bh, bl, Co_hi, Co_lo, Cv_hi, Cv_lo, tile=512):
     """One aux block of the MO half-transforms: j3c[Q,mn] -> (Q, no*nv).
