@@ -132,9 +132,11 @@ def ttm_dzp_real(nroots: int = 20):
     for tag in ("ttm1cz_dzp", "ttm_dzp"):
         ck = _DATA / f"{tag}_ckpt.npz"
         gold = _DATA / f"golden_{tag}.json"
-        bmo_p = cache_dir / f"{tag}_bmo_hi.npy"
+        # dense or packed-symmetric dressed-tensor cache (production.py)
+        bmo_ok = any((cache_dir / f"{tag}_{p}_hi.npy").exists()
+                     for p in ("bmo", "bmop"))
         fockhf_p = cache_dir / f"{tag}_fockhf.npy"
-        if all(p.exists() for p in (ck, gold, bmo_p, fockhf_p)):
+        if all(p.exists() for p in (ck, gold, fockhf_p)) and bmo_ok:
             break
     else:
         return None

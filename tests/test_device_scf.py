@@ -62,3 +62,23 @@ def test_device_requires_df():
 
     with pytest.raises(ValueError):
         RHF(mol, df=False, engine="device")
+
+
+def test_device_scf_packed_b_matches_host(oh_pair):
+    """Packed-symmetric B storage (lower pair triangle, half the HBM —
+    the representation that fits TTM-1Cz/dzp 862 AO on a 16 GB v5e,
+    `scf/df_build.pack_indices`): the full precision schedule
+    (bf16 -> f32 -> refined) runs on the packed J/K paths and lands on
+    the same fixed point as the host f64 SCF."""
+    host, _ = oh_pair
+    mol = Molecule.from_atoms("O 0 0 0; H 0 0 0.97", basis="6-31g", spin=1)
+    mf = ROKS(mol, xc="b3lyp", grid_level=1, df=True, aux_mode="jk",
+              engine="device")
+    mf.device_b_storage = "packed"
+    out = mf.kernel()
+    assert out.converged
+    assert mf._dev.b_storage == "packed"
+    nao = mf.env.nao
+    assert mf._dev.Bhi.shape == (mf.env.aux_layout.nao, nao * (nao + 1) // 2)
+    assert abs(out.e_tot - host.e_tot) < 3e-6
+    assert np.abs(out.mo_energy - host.mo_energy).max() < 5e-6

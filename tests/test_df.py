@@ -213,3 +213,61 @@ def test_jk_aux_mode_quality():
     e1 = np.asarray(XTDA(mf1, nstates=5).kernel().e_eV)
     assert abs(mf1.e_tot - mf0.e_tot) < 3e-4
     assert np.abs(e1 - e0).max() < 2e-3  # eV
+
+
+def test_packed_sigma_matches_dense_layout(fh_roks):
+    """Packed-symmetric B (lower MO-pair triangle, `DFData(packed=True)`)
+    reproduces the dense-layout sigma matvec: same f32 contractions, the
+    chunks just unpack on the fly.  The layout that fits TTM-1Cz/dzp
+    (862 AO) on a 16 GB v5e."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    ref = make_reference(fh_roks)
+    data = build_df_data(ref)
+    op = xtda_sigma_df(data)
+    nmo = data.nmo
+    m_i, n_i = np.tril_indices(nmo)
+    Bp = jnp.asarray(np.asarray(data.B)[:, m_i, n_i])
+    datap = dataclasses.replace(data, B=Bp, packed=True)
+    opp = xtda_sigma_df(datap)
+    rng = np.random.default_rng(3)
+    z = rng.normal(size=(4, op.dim)).astype(np.float32)
+    y0 = np.asarray(op.matvec(jnp.asarray(z)))
+    y1 = np.asarray(opp.matvec(jnp.asarray(z)))
+    assert np.abs(y1 - y0).max() < 1e-6 * max(1.0, np.abs(y0).max())
+    # the TDHF pair (with_b) unpacks through _k2 as well
+    opb = xtda_sigma_df(data, with_b=True)
+    oppb = xtda_sigma_df(datap, with_b=True)
+    yb0 = np.asarray(opb.matvec(jnp.asarray(z)))
+    yb1 = np.asarray(oppb.matvec(jnp.asarray(z)))
+    assert np.abs(yb1 - yb0).max() < 1e-6 * max(1.0, np.abs(yb0).max())
+
+
+def test_production_build_packed_matches_dense(fh_roks_df):
+    """`build_production_state(packed=True)` (streaming packed dressing,
+    bf16 lo) agrees with the dense production build: f32 operators match
+    to rounding, f64 twins to the bf16-lo floor (~2e-10 relative)."""
+    import jax.numpy as jnp
+
+    from xtddft_tpu.response.production import build_production_state
+    from xtddft_tpu.response.reference_state import make_reference as mkref
+
+    ref = mkref(fh_roks_df)
+    d32, d64 = build_production_state(ref, packed=False)
+    p32, p64 = build_production_state(ref, packed=True)
+    assert p32.packed and p64.packed
+    op_d = xtda_sigma_df(d32)
+    op_p = xtda_sigma_df(p32)
+    rng = np.random.default_rng(5)
+    z = rng.normal(size=(3, op_d.dim)).astype(np.float32)
+    yd = np.asarray(op_d.matvec(jnp.asarray(z)))
+    yp = np.asarray(op_p.matvec(jnp.asarray(z)))
+    assert np.abs(yp - yd).max() < 2e-5 * max(1.0, np.abs(yd).max())
+    # f64 twins: unpack the packed twin and compare tensors directly
+    nmo = d64.nmo
+    m_i, n_i = np.tril_indices(nmo)
+    B64d = np.asarray(d64.B)
+    B64p = np.asarray(p64.B)[: B64d.shape[0]]  # drop aux zero-padding
+    assert np.abs(B64p - B64d[:, m_i, n_i]).max() < 1e-7

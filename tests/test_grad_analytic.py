@@ -7,6 +7,8 @@ The reference validates its hand-derived Z-vector gradients against FD
 scope).
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -321,3 +323,35 @@ def test_ch2o_ccpvdz_xcis_gradient_vs_stored_fd():
     gf = np.asarray(d["grad_fd_h2e-3bohr"])
     assert abs(w * 27.211386245988 - d["e0_eV"]) < 1e-4
     assert np.abs(ga - gf).max() < 1e-5
+
+
+@pytest.mark.skipif(not os.environ.get("XTDDFT_RUN_SLOW"),
+                    reason="~35 min: FD displacements each re-converge a "
+                           "TPSSh ROKS + mcol-SF solve (XTDDFT_RUN_SLOW=1)")
+def test_sf_mcol_mgga_gradient_vs_fd():
+    """Spin-flip gradient with a hybrid-MGGA functional: the tau channel
+    flows through the multicollinear transverse kernel AND its
+    coordinate derivative (grad/xcgrid.py make_sf_mcol_fn).  Closes the
+    last guarded SF-kernel gap (GAPS.md); no reference analog exists.
+    Validated green (with the eigenvalue-parity and 2e-5 FD gates) in
+    the r2 build run; slow-gated because the six FD points dominate the
+    default suite's budget."""
+    from xtddft_tpu.methods.drivers import SFTDA
+    from xtddft_tpu.scf import ROKS
+
+    mol = Molecule.from_atoms("O 0 0 0; H 0 0 0.98", basis="sto-3g", spin=1)
+    mfk = ROKS(mol, xc="tpssh", grid_level=1).kernel()
+    # ALDA0 (sf_method=0) must refuse MGGA up front
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        ExcitedGradients(mfk, method="sfcis-up", sf_method=0)
+    eg = ExcitedGradients(mfk, method="sfcis-up", sf_method=1)
+    e, _ = eg.states(2)
+    r = SFTDA(mfk, nstates=2, extype="up", method=1).kernel()
+    assert np.abs(np.asarray(e) - np.asarray(r.e[:2])).max() < 1e-7
+    ga, _ = eg.kernel(state=0)
+    gf = fd_excited_gradient(
+        mfk, lambda m: SFTDA(m, nstates=1, extype="up", method=1),
+        state=0, h=1e-3, atoms=[1])
+    assert np.abs(ga[1] - gf[1]).max() < 2e-5

@@ -30,7 +30,12 @@ def test_jaxints_matches_host_engine(water):
     lay = build_layout(water)
     ints = make_integral_fn(lay)(np.asarray(water.coords))
     assert np.abs(np.asarray(ints["S"]) - np.asarray(overlap(lay))).max() < 1e-13
-    assert np.abs(np.asarray(ints["T"]) - np.asarray(kinetic(lay))).max() < 1e-13
+    # relative gate: steep-primitive kinetic elements reach ~30, and the
+    # block-jit executables sum primitive pairs in a different order
+    # than the host engine (f64 rounding-order noise, ~1e-13 relative)
+    T_host = np.asarray(kinetic(lay))
+    assert (np.abs(np.asarray(ints["T"]) - T_host).max()
+            < 1e-12 * max(1.0, np.abs(T_host).max()))
     assert (
         np.abs(np.asarray(ints["V"]) - np.asarray(nuclear_attraction(lay))).max()
         < 1e-12

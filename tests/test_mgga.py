@@ -145,3 +145,74 @@ def test_tpssh_xtda_open_shell():
     res = XTDA(mf, nstates=4, backend="dense").kernel()
     e = np.asarray(res.e_eV)
     assert np.all(np.isfinite(e)) and np.all(e > 0)
+
+
+def test_tpssh_sf_mcol_dense_vs_sigma():
+    """MGGA spin-flip via the multicollinear kernel's tau channel
+    (xc/mcol.py): SFTDA-up with TPSSh runs, the dense build and the
+    matrix-free sigma operator agree, and the tau block genuinely
+    contributes.  The reference cannot reach this at all (its SF kernels
+    are LDA/GGA-only and its MGGA response branch is broken)."""
+    import pytest
+
+    from xtddft_tpu.methods.drivers import SFTDA
+    from xtddft_tpu.response.reference_state import make_reference
+    from xtddft_tpu.xc.mcol import sf_kernel_mcol
+    from xtddft_tpu.response.dense import _rho0
+
+    mol = Molecule.from_atoms("O 0 0 0; H 0 0 0.97", basis="sto-3g", spin=1)
+    mf = ROKS(mol, xc="tpssh", grid_level=1).kernel()
+    assert mf.converged
+
+    rd = SFTDA(mf, nstates=3, extype="up", method=1).kernel()
+    rs = SFTDA(mf, nstates=3, extype="up", method=1,
+               use_davidson=True).kernel()
+    e_d = np.asarray(rd.e)
+    assert np.all(np.isfinite(e_d))
+    assert np.abs(e_d - np.asarray(rs.e)).max() < 1e-6
+
+    # the tau row/column of the (ng, 5, 5) kernel is not a spectator
+    ref = make_reference(mf)
+    H = np.asarray(sf_kernel_mcol(ref.spec, ref.env.grid_weights,
+                                  _rho0(ref)))
+    assert H.shape[1:] == (5, 5)
+    assert np.abs(H[:, 4, 4]).max() > 1e-12
+    assert np.abs(H[:, 0, 4]).max() > 1e-12
+
+    # ALDA0 stays undefined for MGGA — explicit, not silently wrong
+    with pytest.raises(NotImplementedError):
+        SFTDA(mf, nstates=2, extype="up", method=0).kernel()
+
+
+def test_tpssh_matrix_free_backends_match_dense():
+    """MGGA spin-conserving response on both matrix-free paths: the
+    in-core sigma (`fxc_v1mat` tau branch) is exact vs dense; the DF
+    sigma (tau channel through the MO-grid fxc factorization) matches
+    to DF-fit error.  The reference's MGGA response branch is broken
+    upstream (`xtddft/XTDA.py:242`) and has no matrix-free form."""
+    from xtddft_tpu import units
+    from xtddft_tpu.methods.drivers import XTDA
+
+    mol = Molecule.from_atoms("O 0 0 0; H 0 0 0.97", basis="sto-3g", spin=1)
+    mf = ROKS(mol, xc="tpssh", grid_level=1).kernel()
+    rd = XTDA(mf, nstates=4, backend="dense").kernel()
+    ri = XTDA(mf, nstates=4, backend="incore").kernel()
+    assert np.abs(np.asarray(rd.e) - np.asarray(ri.e)).max() < 1e-7
+    rf = XTDA(mf, nstates=4, backend="df").kernel()
+    assert rf.converged
+    assert np.abs(np.asarray(rd.e) - np.asarray(rf.e)).max() * units.HA2EV < 5e-3
+
+
+def test_tpssh_xsf_df_matches_dense():
+    """Flagship XSF-TDA with a hybrid MGGA through the DF production
+    path: the (ng, 5, 5) multicollinear kernel's tau block flows through
+    the DF SF contraction."""
+    from xtddft_tpu import units
+    from xtddft_tpu.methods.drivers import XSFTDA
+
+    mol = Molecule.from_atoms("F 0 0 0; H 0 0 1.0", basis="6-31g", spin=2)
+    mf = ROKS(mol, xc="tpssh", grid_level=1).kernel()
+    rd = XSFTDA(mf, nstates=4, method=1, backend="dense").kernel()
+    rf = XSFTDA(mf, nstates=4, method=1, backend="df").kernel()
+    assert rf.converged
+    assert np.abs(np.asarray(rd.e) - np.asarray(rf.e)).max() * units.HA2EV < 5e-3

@@ -83,3 +83,63 @@ def test_ttm_df_matches_incore_golden(ttm_golden):
     ref = np.asarray(ttm_golden["xtda_e_ev"])
     assert res.converged
     assert np.abs(res.e_eV - ref).max() < 5e-3
+
+
+# ---- DZ+P north-star leg (tools/make_ttm_dzp_state.py + run_ttm_dzp_xtda.py)
+
+
+@pytest.fixture(scope="module", params=["ttm_dzp", "ttm1cz_dzp"])
+def dzp_golden(request):
+    p = _DATA / f"golden_{request.param}.json"
+    if not p.exists():
+        pytest.skip(f"{request.param} golden not generated (chip access)")
+    return request.param, json.loads(p.read_text())
+
+
+def test_dzp_golden_physics(dzp_golden):
+    """Stored DZ+P golden: 20 converged roots, chip-f32 vs host-f64
+    refined agreement at the meV level, physical spectrum."""
+    tag, g = dzp_golden
+    assert g["nao"] >= 598
+    assert g["nconv"] == 20
+    e = np.asarray(g["e_refined_ev"])
+    assert e.shape[0] == 20
+    assert np.all(np.diff(e) > -1e-9) and np.all(np.isfinite(e))
+    # TTM-family doublets: D1 in the visible/NIR (DZ+P, B3LYP)
+    assert 0.3 < e[0] < 4.0
+    assert np.all(np.asarray(g["osc"]) > -1e-12)
+    # the chip f32 solve must track its own f64 refinement to < 2 meV
+    assert g["max_chip_dev_ev"] < 2e-3
+
+
+@pytest.mark.skipif(not os.environ.get("XTDDFT_RUN_SLOW"),
+                    reason="slow: DF sigma at >=598 AO (set XTDDFT_RUN_SLOW=1)")
+def test_dzp_cached_operator_matches_golden(dzp_golden):
+    """The bench cold path (cached dressed tensors ->
+    `build_production_state(want_f64=False)`) reproduces the stored
+    golden's lowest roots — the same gate `bench.py:ttm_dzp_real`
+    applies on the chip, here on CPU with few roots."""
+    from xtddft_tpu import units
+    from xtddft_tpu.response.production import build_production_state
+    from xtddft_tpu.response.reference_state import make_reference
+    from xtddft_tpu.response.sigma_df import xtda_sigma_df
+    from xtddft_tpu.scf.checkpoint import load_mf
+    from xtddft_tpu.solver.davidson import davidson
+
+    tag, g = dzp_golden
+    cache = pathlib.Path(__file__).parents[1] / "cache"
+    ck = _DATA / f"{tag}_ckpt.npz"
+    if not (ck.exists() and (cache / f"{tag}_bmo_hi.npy").exists()
+            and (cache / f"{tag}_fockhf.npy").exists()):
+        pytest.skip("dzp cached state artifacts missing")
+    mf = load_mf(str(ck))
+    fhf = np.load(cache / f"{tag}_fockhf.npy")
+    ref = make_reference(mf, fock_hf_mo=(fhf[0], fhf[1]))
+    data32, _ = build_production_state(ref, cache=cache, tag=tag,
+                                       want_f64=False)
+    op = xtda_sigma_df(data32)
+    e, _, conv = davidson(op.matvec, op.hdiag, nroots=3,
+                          init_guess=op.init_guess(3), tol=1e-5,
+                          pick_positive=True)
+    e_ref = np.asarray(g["e_refined_ev"])[:3]
+    assert np.abs(e * units.HA2EV - e_ref).max() < 2e-3

@@ -155,10 +155,11 @@ class ExcitedGradients:
         self._exc = None
         self._sf_xc = None
         if (self.spec is not None and self.spec.needs_tau
-                and self.method == "sfcis-up"):
+                and self.method == "sfcis-up" and self.sf_method != 1):
             raise NotImplementedError(
-                "analytic gradients: the spin-flip transverse kernels "
-                "(grad/xcgrid.py make_sf_*_fn) carry no tau channel (MGGA)")
+                "analytic gradients: the ALDA0 spin-flip kernel is not "
+                "defined for MGGA functionals — use sf_method=1 (the "
+                "multicollinear kernel carries the tau channel)")
         if self.spec is not None:
             self.hyb = self.spec.hyb
             if abs(self.spec.omega) > 1e-12:

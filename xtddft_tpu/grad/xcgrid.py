@@ -232,11 +232,19 @@ def make_sf_mcol_fn(mol, layout: BasisLayout, spec: XCSpec, level: int = 1,
     def sf_term(coords, Da, Db, T):
         w, ao, dao = grid_ao(coords)
         rho0 = _rho_terms(w, ao, dao, Da, Db)
-        fxcH = sf_kernel_mcol(spec, w, rho0, nt=nt)  # (ng, 4, 4)
+        if spec.needs_tau:
+            ta = 0.5 * jnp.einsum("xgp,pq,xgq->g", dao, Da, dao)
+            tb = 0.5 * jnp.einsum("xgp,pq,xgq->g", dao, Db, dao)
+            rho0 = rho0 + (ta, tb)
+        fxcH = sf_kernel_mcol(spec, w, rho0, nt=nt)  # (ng, 4[5], 4[5])
         rt = jnp.einsum("gp,pq,gq->g", ao, T, ao)
         grt = jnp.einsum("xgp,pq,gq->xg", dao, T, ao) + jnp.einsum(
             "gp,pq,xgq->xg", ao, T, dao)
-        sv = jnp.concatenate([rt[None], grt], axis=0)  # (4, ng)
+        parts = [rt[None], grt]
+        if spec.needs_tau:
+            parts.append(0.5 * jnp.einsum(
+                "xgp,pq,xgq->g", dao, T, dao)[None])
+        sv = jnp.concatenate(parts, axis=0)  # (4[5], ng)
         return jnp.einsum("cg,gcd,dg->", sv, fxcH, sv)
 
     return sf_term

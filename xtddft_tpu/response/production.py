@@ -39,7 +39,8 @@ __all__ = ["build_production_state"]
 
 def build_production_state(ref, cache: str | pathlib.Path | None = None,
                            tag: str = "prod", aux_chunk: int = 256,
-                           b_dtype=np.float32, want_f64: bool = True):
+                           b_dtype=np.float32, want_f64: bool = True,
+                           packed: bool | None = None):
     """Returns (data32, data64): the chip-resident reduced-precision
     `DFData` and its host-f64 twin for refinement.
 
@@ -54,6 +55,10 @@ def build_production_state(ref, cache: str | pathlib.Path | None = None,
             uploaded directly (the bench cold path).
     b_dtype: dtype of the device B for the solve (np.float32 headline;
             jnp.bfloat16 halves HBM at 862-AO-class sizes).
+    packed: store B^MO packed-symmetric (lower pair triangle, EXACT f32
+            at half the HBM + bf16 lo — `df_build.build_bmo_device_packed`)
+            — the layout that fits TTM-1Cz/dzp (862 AO) on a 16 GB v5e.
+            None = auto by device HBM budget.
 
     Requires `ref.env` to be in DF mode with the raw j3c available
     (`env.set_df_j3c` mmap injection or `df_j3c_host`).
@@ -63,7 +68,10 @@ def build_production_state(ref, cache: str | pathlib.Path | None = None,
 
     from xtddft_tpu.grids import eval_ao
     from xtddft_tpu.response.sigma_df import DFData
-    from xtddft_tpu.scf.df_build import build_bmo_device, transform_mo_device
+    from xtddft_tpu.scf.df_build import (build_bmo_device,
+                                         build_bmo_device_packed,
+                                         transform_mo_device)
+    from xtddft_tpu.scf.jk_device import _hbm_budget
 
     if ref.mo_b is not ref.mo_a and not np.array_equal(ref.mo_a, ref.mo_b):
         raise NotImplementedError(
@@ -82,19 +90,39 @@ def build_production_state(ref, cache: str | pathlib.Path | None = None,
     def _cached(name):
         return cache / f"{tag}_{name}.npy" if cache is not None else None
 
+    naux = env.aux_layout.nao
+    if packed is None:
+        # an existing dressed cache pins the layout; otherwise decide by
+        # the device HBM budget (full hi/lo build peak vs packed ~60%)
+        if cache is not None and _cached("bmo_hi").exists():
+            packed = False
+        elif cache is not None and _cached("bmop_hi").exists():
+            packed = True
+        else:
+            budget = _hbm_budget()
+            pair_bytes = 2.0 * naux * nmo * nmo * 4
+            packed = budget is not None and pair_bytes + 1e9 > budget
+
     # ---- B^MO (hi, lo) ---------------------------------------------------
-    bhi_p, blo_p = _cached("bmo_hi"), _cached("bmo_lo")
+    pfx = "bmop" if packed else "bmo"
+    bhi_p, blo_p = _cached(f"{pfx}_hi"), _cached(f"{pfx}_lo")
     if bhi_p is not None and bhi_p.exists() and blo_p.exists():
         Bhi_np = np.load(bhi_p, mmap_mode="r")
         Blo_np = np.load(blo_p, mmap_mode="r")
         Bhi = jnp.asarray(np.ascontiguousarray(Bhi_np))
         Blo_dev = None
     else:
-        Bhi, Blo = build_bmo_device(
-            env.df_metric_eig_host(0.0), env.df_j3c_host(0.0), mo,
-            aux_chunk=aux_chunk)
+        if packed:
+            Bhi, Blo = build_bmo_device_packed(
+                env.df_metric_eig_host(0.0), env.df_j3c_host(0.0), mo,
+                aux_chunk=min(aux_chunk, 128))
+        else:
+            Bhi, Blo = build_bmo_device(
+                env.df_metric_eig_host(0.0), env.df_j3c_host(0.0), mo,
+                aux_chunk=aux_chunk)
         Bhi_np = np.asarray(Bhi)   # d2h once, for the f64 twin + cache
-        Blo_np = np.asarray(Blo)
+        # bf16 has no npy dtype: persist the packed lo as f32
+        Blo_np = np.asarray(Blo, dtype=np.float32)
         if bhi_p is not None:
             np.save(bhi_p, Bhi_np)
             np.save(blo_p, Blo_np)
@@ -125,11 +153,21 @@ def build_production_state(ref, cache: str | pathlib.Path | None = None,
             phi64 = phi_hi_np.astype(np.float64) + phi_lo_np
             phi_lo.delete()
         grid_w64 = np.asarray(env.grid.weights, dtype=np.float64)
-        grid_w32 = jnp.asarray(grid_w64.astype(np.float32))
         # rho0 from the occupied MO values: exact given phi64, O(ngrid nocc)
         rho0_64 = _rho0_from_phimo(phi64, ref)
-        rho0_32 = tuple(jnp.asarray(np.asarray(r, dtype=np.float32))
-                        for r in rho0_64)
+        # f32-safe density floor for the reduced-precision operator: the
+        # GGA derivative ladders overflow f32 below ~3e-7 (same constant
+        # and masking as `sigma_df.cast_df_data` — without it the chip
+        # operator returns NaN from far-tail grid points)
+        ra, rb, ga, gb = (np.asarray(r, dtype=np.float64) for r in rho0_64)
+        mask = (ra > 3e-7) | (rb > 3e-7)
+        w32 = np.where(mask, grid_w64, 0.0)
+        rho0_32 = tuple(
+            jnp.asarray(np.asarray(r, dtype=np.float32))
+            for r in (np.where(mask, ra, 1.0), np.where(mask, rb, 1.0),
+                      np.where(mask[None, :], ga, 0.0),
+                      np.where(mask[None, :], gb, 0.0)))
+        grid_w32 = jnp.asarray(w32.astype(np.float32))
 
     fock_mo = np.stack([ref.fock_a_mo, ref.fock_b_mo])
     fock_hf = None
@@ -140,9 +178,9 @@ def build_production_state(ref, cache: str | pathlib.Path | None = None,
                   spec=ref.spec, fock_mo=fock_mo, fock_hf_mo=fock_hf)
     B_dev = Bhi if b_dtype == np.float32 else Bhi.astype(b_dtype)
     data32 = DFData(B=B_dev, phi=phi_hi, grid_w=grid_w32, rho0=rho0_32,
-                    **common)
+                    packed=packed, **common)
     data64 = (DFData(B=B64, phi=phi64, grid_w=grid_w64, rho0=rho0_64,
-                     **common) if want_f64 else None)
+                     packed=packed, **common) if want_f64 else None)
     return data32, data64
 
 

@@ -25,16 +25,22 @@ from xtddft_tpu.response.reference_state import Reference
 from xtddft_tpu.xc import interface as xci
 
 
-def _rho0_jnp(ref: Reference):
-    if ref.spec is not None and ref.spec.needs_tau:
-        # the matrix-free/DF fxc quadratures carry no tau channel yet;
-        # MGGA response runs on the dense backend (fxc_tensor has the
-        # tau feature column)
+def _rho0_jnp(ref: Reference, tau: bool = False):
+    """Ground-state grid densities; tau=True appends (ta, tb) for MGGA
+    specs (the multicollinear SF kernel consumes the 6-tuple)."""
+    mgga = ref.spec is not None and ref.spec.needs_tau
+    if mgga and not tau:
         raise NotImplementedError(
-            "MGGA response is dense-backend only: use backend='dense'")
+            "MGGA reference: this rho0 consumer has no tau channel — "
+            "request the 6-tuple with tau=True (dense fxc_tensor, "
+            "in-core fxc_v1mat, and the DF MO-grid fxc all carry tau)")
     ao = ref.env.ao
     da = jnp.asarray(ref.orbo_a @ ref.orbo_a.T)
     db = jnp.asarray(ref.orbo_b @ ref.orbo_b.T)
+    if mgga:
+        ra, ga, ta = xci.cache_rho(ao, da, tau=True)
+        rb, gb, tb = xci.cache_rho(ao, db, tau=True)
+        return (ra, rb, ga, gb, ta, tb)
     ra, ga = xci.cache_rho(ao, da)
     rb, gb = xci.cache_rho(ao, db)
     return (ra, rb, ga, gb)
@@ -83,7 +89,10 @@ def _uks_vresp_consts(ref: Reference) -> dict:
     if ref.spec is not None and bool(ref.spec.components):
         consts["ao"] = env.ao
         consts["w"] = env.grid_weights
-        consts["rho0"] = _rho0_jnp(ref)
+        # MGGA: the 6-tuple rho0 routes fxc_v1mat through its tau branch
+        # (the in-core response is fully MGGA-capable; only the DF
+        # MO-grid factorization still lacks the tau channel)
+        consts["rho0"] = _rho0_jnp(ref, tau=ref.spec.needs_tau)
     return consts
 
 
@@ -245,7 +254,8 @@ def _sf_vresp_consts(ref: Reference, method: int = 0) -> dict:
             from xtddft_tpu.xc.mcol import sf_kernel_mcol
 
             consts["fH"] = sf_kernel_mcol(
-                ref.spec, env.grid_weights, _rho0_jnp(ref))
+                ref.spec, env.grid_weights,
+                _rho0_jnp(ref, tau=ref.spec.needs_tau))
     return consts
 
 

@@ -65,10 +65,16 @@ class DFData:
     B_b: jnp.ndarray | None = None
     B_lr_b: jnp.ndarray | None = None
     phi_b: jnp.ndarray | None = None
+    # packed-symmetric B: (naux, nmo*(nmo+1)/2) lower pair triangle —
+    # exact f32 at half the HBM, the storage that fits TTM-1Cz/dzp
+    # (862 AO) on a 16 GB v5e.  The sigma unpacks per aux chunk
+    # (`scf/df_build.pack_indices`); the aux axis may be zero-row padded
+    # by the packed builder (dressed zero rows contribute nothing).
+    packed: bool = False
 
     @property
     def nmo(self):
-        return self.B.shape[-1]
+        return self.fock_mo.shape[-1]
 
 
 def _mo_transform(B_ao, mo) -> jnp.ndarray:
@@ -117,7 +123,7 @@ def build_df_data(ref: Reference, beta: float | None = None) -> DFData:
         grid_w = env.grid_weights
         from xtddft_tpu.response.sigma import _rho0_jnp
 
-        rho0 = _rho0_jnp(ref)
+        rho0 = _rho0_jnp(ref, tau=ref.spec.needs_tau)
     fock_mo = np.stack([ref.fock_a_mo, ref.fock_b_mo])
     fock_hf = (
         np.stack([ref.fock_a_hf_mo, ref.fock_b_hf_mo])
@@ -161,7 +167,8 @@ def cast_df_data(data: DFData, dtype=np.float32, b_dtype=None,
     if data.fock_hf_mo is not None:
         kw["fock_hf_mo"] = np.asarray(data.fock_hf_mo, dtype=dtype)
     if data.phi is not None:
-        ra, rb, ga, gb = [np.asarray(r, dtype=np.float64) for r in data.rho0]
+        ra, rb, ga, gb, *taus = [np.asarray(r, dtype=np.float64)
+                                 for r in data.rho0]
         w = np.asarray(data.grid_w, dtype=np.float64)
         mask = (ra > rho_floor) | (rb > rho_floor)
         w = np.where(mask, w, 0.0)
@@ -169,10 +176,11 @@ def cast_df_data(data: DFData, dtype=np.float32, b_dtype=None,
         rb = np.where(mask, rb, 1.0)
         ga = np.where(mask[None, :], ga, 0.0)
         gb = np.where(mask[None, :], gb, 0.0)
+        rho_cast = (ra, rb, ga, gb) + tuple(
+            np.where(mask, t, 1.0) for t in taus)  # benign tau: z=0 at g=0
         kw["phi"] = jnp.asarray(data.phi, dtype=dtype)
         kw["grid_w"] = jnp.asarray(w, dtype=dtype)
-        kw["rho0"] = tuple(jnp.asarray(r, dtype=dtype)
-                           for r in (ra, rb, ga, gb))
+        kw["rho0"] = tuple(jnp.asarray(r, dtype=dtype) for r in rho_cast)
     return dataclasses.replace(data, **kw)
 
 
@@ -288,6 +296,19 @@ def xtda_sigma_df(data: DFData, spin_adapt: bool = True,
     }
     has_lr = data.B_lr is not None and data.hyb_lr != 0.0
     hyb_lr = data.hyb_lr
+    packed = bool(getattr(data, "packed", False))
+    if packed:
+        if spmd:
+            raise NotImplementedError(
+                "packed B: single-chip sigma only (multi-chip shards the "
+                "dense layout, where per-device memory is already 1/N)")
+        if has_lr or data.B_b is not None:
+            raise NotImplementedError(
+                "packed B covers R/RO non-RSH references (the 862-AO "
+                "production target); use the dense layout otherwise")
+        from xtddft_tpu.scf.df_build import pack_indices
+
+        consts["f2p"] = jnp.asarray(pack_indices(nmo)[1])
     if has_lr:
         consts["B_lr"] = data.B_lr
     # UHF/UKS: beta-MO-transformed tensors for the beta blocks
@@ -325,12 +346,12 @@ def xtda_sigma_df(data: DFData, spin_adapt: bool = True,
                 _chunked(jnp.moveaxis(data.phi_b, 0, 1)), 2, 1
             )
         consts["w_c"] = _chunked(w_s)
-        ra_s, rb_s, ga_s, gb_s = rho_s
+        ra_s, rb_s, ga_s, gb_s, *tau_s = rho_s
         consts["rho_c"] = (
             _chunked(ra_s, 1.0), _chunked(rb_s, 1.0),
             jnp.moveaxis(_chunked(jnp.moveaxis(ga_s, 0, 1)), 2, 1),
             jnp.moveaxis(_chunked(jnp.moveaxis(gb_s, 0, 1)), 2, 1),
-        )
+        ) + tuple(_chunked(t, 1.0) for t in tau_s)  # MGGA: (ta, tb) chunks
         consts["mask_c"] = _chunked(mask)
 
     dA = spin_adapt and data.fock_hf_mo is not None and no > 0
@@ -348,28 +369,44 @@ def xtda_sigma_df(data: DFData, spin_adapt: bool = True,
     oa, va = slice(0, nocca), slice(nocca, None)
     ob, vb = slice(0, noccb), slice(noccb, None)
 
-    def _aux_chunk(naux, nz, nocc, nvir, budget=1.5e8):
+    def _aux_chunk(naux, nz, nocc, nvir, budget=1.5e8, unpack_cols=0):
         """Largest divisor of naux keeping the K chunk intermediate
-        (nz*chunk*nocc*nvir elements) under budget."""
+        (nz*chunk*nocc*nvir elements) under budget; with packed B the
+        chunk's unpacked (chunk, nmo^2) buffer is capped at ~256 MB
+        (the packed builder zero-pads naux to a multiple of 256, so
+        power-of-2-ish divisors exist)."""
         target = int(max(1, budget // max(1, nz * nocc * nvir)))
+        if unpack_cols:
+            target = min(target, max(1, int(6.4e7 // unpack_cols)))
         for c in range(min(target, naux), 0, -1):
             if naux % c == 0:
                 return c
         return 1
 
-    def _jk(B, z, o, v):
+    def _unpack(Bc, f2p):
+        """(chunk, npair) packed rows -> (chunk, nmo, nmo) full."""
+        return jnp.take(Bc, f2p, axis=1).reshape(Bc.shape[0], nmo, nmo)
+
+    def _jk(B, z, o, v, f2p=None):
         """(t_P contribution, K applied) for one spin block.
 
         The K intermediate T[x,P,j,a] at full naux would be
         batch*naux*nocc*nvir (>10 GB at production sizes), so the aux axis
         is processed in lax.scan chunks with accumulation (chunk size a
-        divisor of naux: padding would force a full copy of B)."""
+        divisor of naux: padding would force a full copy of B).  With
+        packed B (f2p given) each chunk is unpacked by one gather first
+        — the extra HBM traffic buys the halved residency that fits
+        862-AO problems on one chip."""
         naux = B.shape[0]
         nz, nocc, nvir = z.shape
-        chunk = naux if spmd else _aux_chunk(naux, nz, nocc, nvir)
+        chunk = naux if spmd else _aux_chunk(
+            naux, nz, nocc, nvir,
+            unpack_cols=0 if f2p is None else nmo * nmo)
         Br = B.reshape(naux // chunk, chunk, *B.shape[1:])
 
         def body(K_acc, Bc):
+            if f2p is not None:
+                Bc = _unpack(Bc, f2p)
             t_c = jnp.einsum("Pjb,xjb->xP", Bc[:, o, v], z)
             T = jnp.einsum("Pab,xjb->xPja", Bc[:, v, v], z)
             K_acc = K_acc + jnp.einsum("Pji,xPja->xia", Bc[:, o, o], T)
@@ -380,16 +417,45 @@ def xtda_sigma_df(data: DFData, spin_adapt: bool = True,
         t = jnp.moveaxis(t_chunks, 0, 1).reshape(nz, -1)
         return t, K
 
-    def _k2(B, z, o, v):
+    def _j_back_both(B, t, f2p):
+        """Packed-B Coulomb back-projection for BOTH spin blocks in one
+        aux-chunked pass: j_x,ia = sum_P B[P, o, v] t_xP (the dense path
+        slices B[:, o, v] at full naux, which packed storage cannot
+        afford to materialize)."""
+        naux = B.shape[0]
+        nz = t.shape[0]
+        chunk = _aux_chunk(naux, nz, nocca, nvira,
+                           unpack_cols=nmo * nmo)
+        Br = B.reshape(naux // chunk, chunk, B.shape[1])
+        tr = jnp.moveaxis(t.reshape(nz, naux // chunk, chunk), 0, 1)
+
+        def body(accs, xs):
+            Bc, tc = xs
+            Bf = _unpack(Bc, f2p)
+            ja, jb = accs
+            ja = ja + jnp.einsum("Pia,xP->xia", Bf[:, oa, va], tc)
+            jb = jb + jnp.einsum("Pia,xP->xia", Bf[:, ob, vb], tc)
+            return (ja, jb), None
+
+        acc0 = (jnp.zeros((nz, nocca, nvira), dtype=B.dtype),
+                jnp.zeros((nz, noccb, nvirb), dtype=B.dtype))
+        (ja, jb), _ = jax.lax.scan(body, acc0, (Br, tr))
+        return ja, jb
+
+    def _k2(B, z, o, v, f2p=None):
         """RPA B-coupling exchange (ib|ja) z_jb for one spin block,
         aux-chunked like `_jk` (the T intermediate here is
         nz*chunk*nvir^2, so the chunk budget uses the vv footprint)."""
         naux = B.shape[0]
         nz, nocc, nvir = z.shape
-        chunk = naux if spmd else _aux_chunk(naux, nz, nvir, nvir)
+        chunk = naux if spmd else _aux_chunk(
+            naux, nz, nvir, nvir,
+            unpack_cols=0 if f2p is None else nmo * nmo)
         Br = B.reshape(naux // chunk, chunk, *B.shape[1:])
 
         def body(acc, Bc):
+            if f2p is not None:
+                Bc = _unpack(Bc, f2p)
             T = jnp.einsum("Pja,xjb->xPab", Bc[:, o, v], z)
             acc = acc + jnp.einsum("Pib,xPab->xia", Bc[:, o, v], T)
             return acc, None
@@ -412,37 +478,55 @@ def xtda_sigma_df(data: DFData, spin_adapt: bool = True,
                 phi_ch, w_ch, rho_ch, mask_ch = xs
                 phib_ch = phi_ch
 
+            mgga = len(rho_ch) == 6
+
             def rho1(z, o, v, p0, p1):
                 tmp = jnp.einsum("xov,gv->xgo", z, p0[:, v])  # (x, gc, nocc)
                 r = jnp.einsum("xgo,go->xg", tmp, p0[:, o])
                 g = jnp.einsum("xgo,ygo->xyg", tmp, p1[:, :, o])
                 tmp2 = jnp.einsum("xov,ygv->xygo", z, p1[:, :, v])
                 g = g + jnp.einsum("xygo,go->xyg", tmp2, p0[:, o])
-                return (
+                out = (
                     jnp.where(mask_ch[None], r, 0.0),
                     jnp.where(mask_ch[None, None], g, 0.0),
                 )
+                if mgga:
+                    t = 0.5 * jnp.einsum("xygo,ygo->xg", tmp2, p1[:, :, o])
+                    out = out + (jnp.where(mask_ch[None], t, 0.0),)
+                return out
 
-            ra1, ga1 = rho1(za, oa, va, phi_ch[0], phi_ch[1:4])
-            rb1, gb1 = rho1(zb, ob, vb, phib_ch[0], phib_ch[1:4])
+            rho1_a = rho1(za, oa, va, phi_ch[0], phi_ch[1:4])
+            rho1_b = rho1(zb, ob, vb, phib_ch[0], phib_ch[1:4])
 
             def one(args):
                 return respond(w_ch, rho_ch, args)
 
-            dwva, dwvb, dwga, dwgb = jax.vmap(one)((ra1, rb1, ga1, gb1))
+            if mgga:
+                args1 = (rho1_a[0], rho1_b[0], rho1_a[1], rho1_b[1],
+                         rho1_a[2], rho1_b[2])
+                dwva, dwvb, dwga, dwgb, dwta, dwtb = jax.vmap(one)(args1)
+            else:
+                dwva, dwvb, dwga, dwgb = jax.vmap(one)(
+                    (rho1_a[0], rho1_b[0], rho1_a[1], rho1_b[1]))
+                dwta = dwtb = None
 
-            def back(dwv, dwg, o, v, p0, p1):
+            def back(dwv, dwg, dwt, o, v, p0, p1):
                 tmp = jnp.einsum("xg,go->xgo", dwv, p0[:, o])
                 tmp = tmp + jnp.einsum("xyg,ygo->xgo", dwg, p1[:, :, o])
                 r = jnp.einsum("xgo,gv->xov", tmp, p0[:, v])
                 tmp2 = jnp.einsum("xyg,go->xygo", dwg, p0[:, o])
                 r = r + jnp.einsum("xygo,ygv->xov", tmp2, p1[:, :, v])
+                if dwt is not None:
+                    r = r + 0.5 * jnp.einsum(
+                        "xg,ygo,ygv->xov", dwt, p1[:, :, o], p1[:, :, v])
                 return r
 
             va_acc, vb_acc = acc
             return (
-                va_acc + back(dwva, dwga, oa, va, phi_ch[0], phi_ch[1:4]),
-                vb_acc + back(dwvb, dwgb, ob, vb, phib_ch[0], phib_ch[1:4]),
+                va_acc + back(dwva, dwga, dwta, oa, va,
+                              phi_ch[0], phi_ch[1:4]),
+                vb_acc + back(dwvb, dwgb, dwtb, ob, vb,
+                              phib_ch[0], phib_ch[1:4]),
             ), None
 
         nz = za.shape[0]
@@ -468,11 +552,17 @@ def xtda_sigma_df(data: DFData, spin_adapt: bool = True,
         zb = zs[:, na:].reshape(nz, noccb, nvirb)
         za_b = za.astype(B.dtype)
         zb_b = zb.astype(B.dtype)
-        ta, Ka = _jk(B, za_b, oa, va)
-        tb, Kb = _jk(Bb, zb_b, ob, vb)
+        f2p = C.get("f2p") if packed else None
+        ta, Ka = _jk(B, za_b, oa, va, f2p)
+        tb, Kb = _jk(Bb, zb_b, ob, vb, f2p)
         t = ta + tb
-        ja_c = jnp.einsum("Pia,xP->xia", B[:, oa, va], t).astype(acc)
-        jb_c = jnp.einsum("Pia,xP->xia", Bb[:, ob, vb], t).astype(acc)
+        if packed:
+            ja, jb = _j_back_both(B, t, f2p)
+            ja_c = ja.astype(acc)
+            jb_c = jb.astype(acc)
+        else:
+            ja_c = jnp.einsum("Pia,xP->xia", B[:, oa, va], t).astype(acc)
+            jb_c = jnp.einsum("Pia,xP->xia", Bb[:, ob, vb], t).astype(acc)
         v1a = ja_c - hyb * Ka.astype(acc)
         v1b = jb_c - hyb * Kb.astype(acc)
         if has_lr:
@@ -492,8 +582,8 @@ def xtda_sigma_df(data: DFData, spin_adapt: bool = True,
         if with_b:
             # RPA B: shared Coulomb/fxc pieces, (ib|ja)-type exchange,
             # no Fock/dA terms (`response/tdhf.py:tdhf_b_blocks`)
-            b1a = ja_c - hyb * _k2(B, za_b, oa, va).astype(acc)
-            b1b = jb_c - hyb * _k2(Bb, zb_b, ob, vb).astype(acc)
+            b1a = ja_c - hyb * _k2(B, za_b, oa, va, f2p).astype(acc)
+            b1b = jb_c - hyb * _k2(Bb, zb_b, ob, vb, f2p).astype(acc)
             if has_lr:
                 b1a = b1a - hyb_lr * _k2(C["B_lr"], za_b, oa, va).astype(acc)
                 b1b = b1b - hyb_lr * _k2(
@@ -643,7 +733,7 @@ def xsf_sigma_df(data: DFData, SA: int = 3, foo: float = 1.0,
             consts["sf_k"] = sf_kernel_mcol(
                 data.spec, data.grid_w, data.rho0
             ).astype(acc)
-            kdim = 4
+            kdim = int(consts["sf_k"].shape[-1])  # 4, or 5 with MGGA tau
         consts["phi"] = data.phi
         if data.phi_b is not None:
             consts["phi_b"] = data.phi_b
@@ -741,13 +831,21 @@ def xsf_sigma_df(data: DFData, SA: int = 3, foo: float = 1.0,
                 g1 = jnp.einsum("xgo,ygo->xyg", tmp, po[1:4])
                 tmp2 = jnp.einsum("xov,ygv->xygo", z.astype(phi.dtype), pv[1:4])
                 g1 = g1 + jnp.einsum("xygo,go->xyg", tmp2, po[0])
-                rho1 = jnp.concatenate([r0[:, None], g1], axis=1)  # (x,4,g)
+                parts = [r0[:, None], g1]
+                if kdim == 5:
+                    # MGGA tau channel of the transition density
+                    parts.append(0.5 * jnp.einsum(
+                        "xygo,ygo->xg", tmp2, po[1:4])[:, None])
+                rho1 = jnp.concatenate(parts, axis=1)  # (x, kdim, g)
                 wv = jnp.einsum("gab,xbg->xag", C["sf_k"], rho1)
                 v = jnp.einsum("xg,go,gv->xov", wv[:, 0], po[0], pv[0])
                 t3 = jnp.einsum("xyg,ygo->xgo", wv[:, 1:4], po[1:4])
                 v = v + jnp.einsum("xgo,gv->xov", t3, pv[0])
                 t4 = jnp.einsum("xyg,ygv->xgv", wv[:, 1:4], pv[1:4])
                 v = v + jnp.einsum("xgv,go->xov", t4, po[0])
+                if kdim == 5:
+                    v = v + 0.5 * jnp.einsum(
+                        "xg,ygo,ygv->xov", wv[:, 4], po[1:4], pv[1:4])
                 vs = vs + v.astype(acc)
         vs = vs + jnp.einsum("ab,xib->xia", C["f_vir"], z) - jnp.einsum(
             "ij,xja->xia", C["f_occ"], z

@@ -111,9 +111,32 @@ def _dress_block_hi(Bhi, uh, ul, sh, sl, bh, bl, cs, off, nnull=0,
     return jax.lax.dynamic_update_slice_in_dim(Bhi, ph, off, 1)
 
 
+def pack_indices(nao: int):
+    """Index arrays for packed-symmetric (lower-triangle) pair storage.
+
+    Returns (flat_pack, full2pair, dupl):
+      flat_pack: (npair,) int32 — flat full-matrix index m*nao+n of each
+                 packed column (m >= n, m-major order → monotonically
+                 increasing, which keeps the packed build's disk reads
+                 contiguous);
+      full2pair: (nao*nao,) int32 — packed index of each (m, n);
+      dupl:      (npair,) f32 — 2.0 off-diagonal / 1.0 diagonal, the
+                 multiplicity weight so packed contractions with a
+                 symmetric matrix reproduce the full double sum.
+    """
+    m_i, n_i = np.tril_indices(nao)
+    npair = m_i.size
+    P = np.empty((nao, nao), dtype=np.int32)
+    P[m_i, n_i] = np.arange(npair, dtype=np.int32)
+    P[n_i, m_i] = np.arange(npair, dtype=np.int32)
+    flat_pack = (m_i * nao + n_i).astype(np.int32)
+    dupl = np.where(m_i == n_i, 1.0, 2.0).astype(np.float32)
+    return flat_pack, P.reshape(-1), dupl
+
+
 def build_b_device(metric_eig, j3c: np.ndarray,
                    col_chunk: int = 1 << 13, tile: int = 512,
-                   keep_lo: bool = True):
+                   keep_lo: bool = True, packed: bool = False):
     """(naux, nao, nao) device-resident B as an f32 (hi, lo) pair.
 
     metric_eig: (w, U) host-f64 truncated eigendecomposition of the fit
@@ -127,6 +150,12 @@ def build_b_device(metric_eig, j3c: np.ndarray,
                 ~2^-48 — at production sizes that is the right trade,
                 because 2*naux*nao^2 floats do not fit a 16 GB chip
                 (TTM/dzp: 11.4 GB) while the Fock target is ~1e-7.
+    packed:     store only the lower triangle of the symmetric (m, n)
+                pair axis: (naux, nao*(nao+1)/2), exact f32, HALF the
+                HBM again — the representation that puts TTM-1Cz/dzp
+                (862 AO, 17.3 GB full f32) on a 16 GB v5e.  Implies
+                keep_lo=False; consumers unpack per aux chunk with
+                `pack_indices` (`scf/jk_device.py` packed J/K paths).
     """
     w, U = metric_eig
     naux, nao = j3c.shape[0], j3c.shape[1]
@@ -134,6 +163,9 @@ def build_b_device(metric_eig, j3c: np.ndarray,
     j2 = j3c.reshape(naux, ncol)
     uh, ul = _split_dev(U)
     sh, sl = _split_dev(1.0 / np.sqrt(w))
+    if packed:
+        return _build_b_device_packed(j2, uh, ul, sh, sl, _nnull(w),
+                                      col_chunk, tile), None
     Bhi = jnp.zeros((naux, ncol), jnp.float32)
     Blo = jnp.zeros((naux, ncol), jnp.float32) if keep_lo else None
     for off in range(0, ncol, col_chunk):
@@ -154,6 +186,50 @@ def build_b_device(metric_eig, j3c: np.ndarray,
         jax.block_until_ready(Bhi)
     Bhi = Bhi.reshape(naux, nao, nao)
     return Bhi, (Blo.reshape(naux, nao, nao) if keep_lo else None)
+
+
+def _build_b_device_packed(j2, uh, ul, sh, sl, nnull, col_chunk, tile):
+    """Packed dressing loop: walks CONTIGUOUS full-column chunks (one
+    sequential pass over the j3c mmap — same IO as the full build),
+    gathers the lower-triangle columns inside each chunk on the host,
+    pads the packed width to a power-of-2 bucket (bounds the number of
+    compiled `_dress_block_hi` shapes), and writes blocks in ascending
+    packed offset so each block's zero padding is overwritten by its
+    successor.  Only the pair columns are dressed — the packed build
+    also HALVES the dressing flops."""
+    naux = j2.shape[0]
+    nao = int(round(np.sqrt(j2.shape[1])))
+    flat_pack, _, _ = pack_indices(nao)
+    npair = flat_pack.size
+    Bp = jnp.zeros((naux, npair), jnp.float32)
+    out_off = 0
+    for off in range(0, nao * nao, col_chunk):
+        hi = min(off + col_chunk, nao * nao)
+        lo_i = np.searchsorted(flat_pack, off)
+        hi_i = np.searchsorted(flat_pack, hi)
+        if hi_i == lo_i:
+            continue
+        blk = np.asarray(j2[:, off:hi])[:, flat_pack[lo_i:hi_i] - off]
+        width = hi_i - lo_i
+        # pad to a power-of-2 bucket (>= 512): few compiled shapes.
+        # Padding beyond npair would shift under dynamic_update_slice's
+        # index clamping, so tail blocks that would overrun write at
+        # exact width (at most a couple of extra compiles).
+        bw = max(512, 1 << int(np.ceil(np.log2(width))))
+        if out_off + bw > npair:
+            bw = width
+        if bw > width:
+            blk = np.concatenate(
+                [blk, np.zeros((naux, bw - width), blk.dtype)], axis=1)
+        cs = _pow2_colscale(blk)
+        bh, bl = _split_dev(blk / cs[None, :])
+        Bp = _dress_block_hi(Bp, uh, ul, sh, sl, bh, bl,
+                             jnp.asarray(cs, dtype=jnp.float32),
+                             jnp.int32(out_off), nnull=nnull, tile=tile)
+        jax.block_until_ready(Bp)  # bound in-flight h2d (see above)
+        out_off += width
+    assert out_off == npair
+    return Bp
 
 
 def build_bmo_device(metric_eig, j3c: np.ndarray, C: np.ndarray,
@@ -232,6 +308,85 @@ def build_bmo_device(metric_eig, j3c: np.ndarray, C: np.ndarray,
         jax.block_until_ready(Thi)
         off += cc
     return Thi.reshape(naux, nmo, nmo), Tlo.reshape(naux, nmo, nmo)
+
+
+def build_bmo_device_packed(metric_eig, j3c: np.ndarray, C: np.ndarray,
+                            aux_chunk: int = 128, col_chunk: int = 1 << 13,
+                            tile: int = 512):
+    """Packed-symmetric `build_bmo_device`: B^MO stored as the lower pair
+    triangle (naux_pad, nmo*(nmo+1)/2) with the lo half in bf16.
+
+    The storage that fits TTM-1Cz/dzp (862 AO: full f32 pair = 34.6 GB,
+    packed hi + bf16 lo = 13 GB) on a 16 GB v5e:
+
+      * hi: exact f32 of the compensated build — the production solve
+        tensor (`DFData(packed=True)`, unpacked per aux chunk in the
+        sigma);
+      * lo: bf16 of the compensation term (|lo| <~ 6e-8 |hi|, so bf16's
+        8 mantissa bits keep the joined f64 twin at ~2e-10 relative —
+        plenty for the host Rayleigh–Ritz refinement it exists for).
+
+    The aux axis is zero-row padded to a multiple of 256 (U padded with
+    zero rows — dressed zero rows are exactly zero) so the sigma's
+    chunked scan has power-of-2 divisors.
+    """
+    w, U = metric_eig
+    naux, nao = j3c.shape[0], j3c.shape[1]
+    nmo = C.shape[1]
+    fpk, _, _ = pack_indices(nmo)
+    fpk_d = jnp.asarray(fpk)
+    npair = fpk.size
+    naux_pad = -(-naux // 256) * 256
+    ch = _split_dev(C)
+    Thi = jnp.zeros((naux_pad, npair), jnp.float32)
+    Tlo = jnp.zeros((naux_pad, npair), jnp.bfloat16)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1),
+                       static_argnames=("tile",))
+    def _acc(Th, Tl, bh, bl, off, tile=512):
+        uh, ul = _transform_block(bh, bl, ch[0], ch[1], ch[0], ch[1],
+                                  tile=tile)
+        uh = jnp.take(uh, fpk_d, axis=1)
+        ul = jnp.take(ul, fpk_d, axis=1)
+        Th = jax.lax.dynamic_update_slice_in_dim(Th, uh, off, 0)
+        Tl = jax.lax.dynamic_update_slice_in_dim(
+            Tl, ul.astype(jnp.bfloat16), off, 0)
+        return Th, Tl
+
+    off = 0
+    while off < naux:
+        q = min(aux_chunk, naux - off)
+        bh, bl = _split_dev(j3c[off:off + q])
+        Thi, Tlo = _acc(Thi, Tlo, bh, bl, jnp.int32(off), tile=tile)
+        jax.block_until_ready(Thi)  # bound in-flight h2d (see build_b_device)
+        off += q
+
+    U_pad = np.zeros((naux_pad, U.shape[1]), dtype=np.float64)
+    U_pad[:naux] = U
+    uh, ul = _split_dev(U_pad)
+    sh, sl = _split_dev(1.0 / np.sqrt(w))
+    nnull = _nnull(w)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1),
+                       static_argnames=("cc", "nnull", "tile"))
+    def _dress_cols(Th, Tl, off, cc, nnull=0, tile=512):
+        bh = jax.lax.dynamic_slice_in_dim(Th, off, cc, axis=1)
+        bl = jax.lax.dynamic_slice_in_dim(Tl, off, cc, axis=1).astype(
+            jnp.float32)
+        ph, pl = _dress(uh, ul, sh, sl, bh, bl, nnull=nnull, tile=tile)
+        Th = jax.lax.dynamic_update_slice_in_dim(Th, ph, off, axis=1)
+        Tl = jax.lax.dynamic_update_slice_in_dim(
+            Tl, pl.astype(jnp.bfloat16), off, axis=1)
+        return Th, Tl
+
+    off = 0
+    while off < npair:
+        cc = min(col_chunk, npair - off)
+        Thi, Tlo = _dress_cols(Thi, Tlo, jnp.int32(off), cc=cc,
+                               nnull=nnull, tile=tile)
+        jax.block_until_ready(Thi)
+        off += cc
+    return Thi, Tlo
 
 
 def transform_mo_device(X: np.ndarray, C: np.ndarray, tile: int = 512,

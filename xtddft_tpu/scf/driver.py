@@ -153,6 +153,10 @@ class SCF:
             # when refined-mode progress stalls, the best-Fock snapshot is
             # accepted as converged iff its |g| cleared this bar
             self.device_accept_grad = 1e-5
+            # B storage on the chip: 'auto' packs the symmetric pair axis
+            # when the full f32 tensor would blow the HBM budget
+            # (`jk_device.DeviceVeff`); force 'packed'/'full' for tests
+            self.device_b_storage = "auto"
 
     # -- Fock/energy builders ---------------------------------------------
     def _veff_and_exc(self, da, db):
@@ -290,7 +294,8 @@ class SCF:
         if self.engine == "device" and self._dev is None:
             from xtddft_tpu.scf.jk_device import DeviceVeff
 
-            self._dev = DeviceVeff(self.env, self.xc)
+            self._dev = DeviceVeff(self.env, self.xc,
+                                   b_storage=self.device_b_storage)
         converged = False
         fa = fb = None
         idx_a = np.arange(na)

@@ -46,6 +46,20 @@ def _prec(mode: str) -> str:
     return {"bf16": "default", "f32": "highest"}[mode]
 
 
+def _hbm_budget() -> int | None:
+    """Usable accelerator HBM in bytes (None on CPU backends / unknown):
+    the storage-policy input for DeviceVeff(b_storage='auto')."""
+    try:
+        d = jax.devices()[0]
+        if d.platform == "cpu":
+            return None
+        ms = d.memory_stats()
+        limit = int(ms.get("bytes_limit", 0))
+        return int(limit * 0.92) if limit else None
+    except Exception:
+        return None
+
+
 # ------------------------------------------------------------------ fast path
 @functools.partial(jax.jit, static_argnames=("prec", "hyb", "hyb_lr"))
 def _jk_fast(Bhi, Ca, Cb, prec, hyb, hyb_lr=0.0, Blr=None):
@@ -99,6 +113,137 @@ def _xc_fast(phi, w, Ca, Cb, prec, spec_key):
         Va = xci._contract_vmat(phi, wva, wga)
         Vb = xci._contract_vmat(phi, wvb, wgb)
         return exc, Va, Vb
+
+
+# ------------------------------------------------------- packed-symmetric path
+# B stored as the lower triangle of its symmetric (m, n) pair axis:
+# (naux, nao*(nao+1)/2) — exact f32 at HALF the HBM, the storage that fits
+# TTM-1Cz/dzp (862 AO, 17.3 GB full f32) on a 16 GB v5e.  Chunks of the
+# aux axis are unpacked on the fly with a gather (`df_build.pack_indices`);
+# J never unpacks at all (packed contraction with multiplicity weights).
+
+
+@functools.partial(jax.jit, static_argnames=("prec", "hyb", "aux_chunk"))
+def _jk_fast_packed(Bp, f2p, fpk, dupl, Ca, Cb, prec, hyb, aux_chunk=512):
+    """Packed-B analog of `_jk_fast` (no RSH leg: packed mode guards it)."""
+    naux = Bp.shape[0]
+    nao = Ca.shape[0]
+    with jax.default_matmul_precision(prec):
+        Da = Ca @ Ca.T
+        Db = Cb @ Cb.T
+        D = Da + Db
+        # J in packed space: t_P = sum_{m>=n} dupl * B_P,mn D_mn is the
+        # exact symmetric double sum; the back-contraction lands on the
+        # packed J, unpacked by one gather
+        Dp = jnp.take(D.reshape(-1), fpk) * dupl
+        t = Bp @ Dp
+        Jp = t @ Bp
+        J = jnp.take(Jp, f2p).reshape(nao, nao)
+
+        def kchunk(Bc, C):
+            Bf = jnp.take(Bc, f2p, axis=1).reshape(Bc.shape[0], nao, nao)
+            T = jnp.einsum("Pmn,ni->Pmi", Bf, C)
+            return jnp.einsum("Pmi,Pni->mn", T, T)
+
+        z = jnp.zeros((nao, nao), jnp.float32)
+        Ka = Kb = z
+        if hyb != 0.0:
+            def body(i, accs):
+                ka, kb = accs
+                Bc = jax.lax.dynamic_slice_in_dim(
+                    Bp, i * aux_chunk, aux_chunk, 0)
+                return ka + kchunk(Bc, Ca), kb + kchunk(Bc, Cb)
+
+            nc = naux // aux_chunk
+            if nc:
+                Ka, Kb = jax.lax.fori_loop(0, nc, body, (z, z))
+            if naux - nc * aux_chunk:
+                Bc = jax.lax.slice_in_dim(Bp, nc * aux_chunk, naux, axis=0)
+                Ka = Ka + kchunk(Bc, Ca)
+                Kb = Kb + kchunk(Bc, Cb)
+        ej = 0.5 * jnp.einsum("mn,nm->", D, J)
+        Ka = hyb * Ka
+        Kb = hyb * Kb
+        eka = 0.5 * jnp.einsum("mn,nm->", Da, Ka) if hyb != 0.0 else 0.0
+        ekb = 0.5 * jnp.einsum("mn,nm->", Db, Kb) if hyb != 0.0 else 0.0
+        return J - Ka, J - Kb, ej, eka, ekb
+
+
+def _chunk_k(Bc_hi, Bc_lo, Chi, Clo, tile=512):
+    """Compensated K partial from one (full, unpacked) aux chunk of B:
+    T = Bc C then T T^T, both `ts_matmul` — shared by the dense and
+    packed refined paths."""
+    ch, nao, _ = Bc_hi.shape
+    m = ch * nao
+    Thi, Tlo = ts_matmul(Bc_hi.reshape(m, nao),
+                         Bc_lo.reshape(m, nao) if Bc_lo is not None else None,
+                         Chi, Clo, tile=tile)
+    nocc = Chi.shape[1]
+    T2hi = Thi.reshape(ch, nao, nocc).transpose(1, 0, 2).reshape(nao, -1)
+    T2lo = Tlo.reshape(ch, nao, nocc).transpose(1, 0, 2).reshape(nao, -1)
+    return ts_matmul(T2hi, T2lo, T2hi.T, T2lo.T, tile=tile)
+
+
+@functools.partial(jax.jit, static_argnames=("aux_chunk", "tile"))
+def _jk_refined_packed(Bp, f2p, fpk, dupl, Cahi, Calo, Cbhi, Cblo,
+                       aux_chunk=256, tile=512):
+    """Compensated J / occupied-K from packed-symmetric B (hi only —
+    packed mode exists for sizes where even the f32 hi is tight, so the
+    result carries B's f32 representation error ~6e-8, exactly like the
+    dense keep_lo=False regime)."""
+    naux, npair = Bp.shape
+    nao = Cahi.shape[0]
+
+    def dm(Chi, Clo):
+        with jax.default_matmul_precision("highest"):
+            d = Chi @ Chi.T
+        with jax.default_matmul_precision("default"):
+            corr = Chi @ Clo.T + Clo @ Chi.T
+        return d, corr
+
+    Dahi, Dalo = dm(Cahi, Calo)
+    Dbhi, Dblo = dm(Cbhi, Cblo)
+    Dhi = Dahi + Dbhi
+    Dlo = Dalo + Dblo
+    # dupl is a power-of-2 weight (1 or 2): the products are exact
+    Dph = jnp.take(Dhi.reshape(-1), fpk)[:, None] * dupl[:, None]
+    Dpl = jnp.take(Dlo.reshape(-1), fpk)[:, None] * dupl[:, None]
+    two_sum = _two_sum
+
+    def body_chunk(Bc, carry):
+        (jh, jl, kah, kal, kbh, kbl) = carry
+        ch = Bc.shape[0]
+        # J: t_c = Bc Dp, then the chunk-local back-contraction Bc^T t_c
+        th, tl = ts_matmul(Bc, None, Dph, Dpl, tile=tile)
+        pjh, pjl = ts_matmul(Bc.T, None, th, tl, tile=64)
+        jh, e = two_sum(jh, pjh[:, 0])
+        jl = jl + e + pjl[:, 0]
+        Bf = jnp.take(Bc, f2p, axis=1).reshape(ch, nao, nao)
+        pkh, pkl = _chunk_k(Bf, None, Cahi, Calo, tile=tile)
+        kah, e = two_sum(kah, pkh)
+        kal = kal + e + pkl
+        pkh, pkl = _chunk_k(Bf, None, Cbhi, Cblo, tile=tile)
+        kbh, e = two_sum(kbh, pkh)
+        kbl = kbl + e + pkl
+        return (jh, jl, kah, kal, kbh, kbl)
+
+    def body(i, carry):
+        Bc = jax.lax.dynamic_slice_in_dim(Bp, i * aux_chunk, aux_chunk, 0)
+        return body_chunk(Bc, carry)
+
+    zj = jnp.zeros((npair,), jnp.float32)
+    z = jnp.zeros((nao, nao), jnp.float32)
+    carry = (zj, zj, z, z, z, z)
+    nc = naux // aux_chunk
+    if nc > 0:
+        carry = jax.lax.fori_loop(0, nc, body, carry)
+    if naux - nc * aux_chunk:
+        Bc = jax.lax.slice_in_dim(Bp, nc * aux_chunk, naux, axis=0)
+        carry = body_chunk(Bc, carry)
+    (jh, jl, kah, kal, kbh, kbl) = carry
+    Jh = jnp.take(jh, f2p).reshape(nao, nao)
+    Jl = jnp.take(jl, f2p).reshape(nao, nao)
+    return (Jh, Jl, kah, kal, kbh, kbl)
 
 
 # --------------------------------------------------------------- refined path
@@ -250,8 +395,8 @@ class DeviceVeff:
     """
 
     def __init__(self, env, spec, aux_chunk: int = 256, verbose: int = 0,
-                 keep_b_lo: bool | None = None):
-        from xtddft_tpu.scf.df_build import build_b_device
+                 keep_b_lo: bool | None = None, b_storage: str = "auto"):
+        from xtddft_tpu.scf.df_build import build_b_device, pack_indices
 
         self.env = env
         self.spec = spec
@@ -265,14 +410,40 @@ class DeviceVeff:
         # B lives only as the device hi/lo pair.  Above ~3 GB per half
         # the lo half is dropped (HBM budget; refined J/K then carries
         # B's f32 representation error ~6e-8 — still ~1e-7 Fock quality,
-        # see build_b_device docstring).
+        # see build_b_device docstring).  When even the f32 hi (plus the
+        # grid tensor) exceeds the device HBM budget, B stores
+        # packed-symmetric (lower pair triangle, exact f32, half the
+        # bytes — `pack_indices`): TTM-1Cz/dzp 862 AO on a 16 GB v5e.
         naux_b = env.aux_layout.nao
         b_half_bytes = naux_b * env.nao * env.nao * 4
         if keep_b_lo is None:
             keep_b_lo = b_half_bytes < 3e9
-        self.Bhi, self.Blo = build_b_device(env.df_metric_eig_host(0.0),
-                                            env.df_j3c_host(0.0),
-                                            keep_lo=keep_b_lo)
+        if b_storage == "auto":
+            budget = _hbm_budget()
+            extra = 1.5e9  # transfer staging + J/K workspace headroom
+            if spec is not None and spec.components:
+                extra += 4.0 * env.grid.coords.shape[0] * env.nao * 4
+            need = b_half_bytes * (2 if keep_b_lo else 1) + extra
+            b_storage = ("packed" if budget is not None and need > budget
+                         else "full")
+        self.b_storage = b_storage
+        if b_storage == "packed":
+            if spec is not None and abs(getattr(spec, "omega", 0.0)) > 1e-12:
+                raise NotImplementedError(
+                    "packed-B device engine has no long-range (RSH) leg; "
+                    "use b_storage='full' (needs the HBM) or the host "
+                    "engine")
+            self.Bhi, self.Blo = build_b_device(
+                env.df_metric_eig_host(0.0), env.df_j3c_host(0.0),
+                packed=True)
+            fpk, f2p, dupl = pack_indices(env.nao)
+            self._fpk = jnp.asarray(fpk)
+            self._f2p = jnp.asarray(f2p)
+            self._dupl = jnp.asarray(dupl)
+        else:
+            self.Bhi, self.Blo = build_b_device(env.df_metric_eig_host(0.0),
+                                                env.df_j3c_host(0.0),
+                                                keep_lo=keep_b_lo)
         self.hyb = spec.hyb if spec is not None else 1.0
         self.alpha = spec.alpha if spec is not None else 1.0
         self.omega = spec.omega if spec is not None else 0.0
@@ -321,8 +492,13 @@ class DeviceVeff:
     def _veff_fast(self, Ca, Cb, prec):
         Ca32 = jnp.asarray(np.asarray(Ca, dtype=np.float32))
         Cb32 = jnp.asarray(np.asarray(Cb, dtype=np.float32))
-        va, vb, ej, eka, ekb = _jk_fast(
-            self.Bhi, Ca32, Cb32, prec, self.hyb, self.hyb_lr, self.Blr)
+        if self.b_storage == "packed":
+            va, vb, ej, eka, ekb = _jk_fast_packed(
+                self.Bhi, self._f2p, self._fpk, self._dupl, Ca32, Cb32,
+                prec, self.hyb)
+        else:
+            va, vb, ej, eka, ekb = _jk_fast(
+                self.Bhi, Ca32, Cb32, prec, self.hyb, self.hyb_lr, self.Blr)
         exc = 0.0
         if self.phi is not None:
             exc, Va, Vb = _xc_fast(self.phi, self.w32, Ca32, Cb32, prec,
@@ -338,9 +514,14 @@ class DeviceVeff:
         cah, cal = split_f64(Ca)
         cbh, cbl = split_f64(Cb)
         cah, cal, cbh, cbl = map(jnp.asarray, (cah, cal, cbh, cbl))
-        jh, jl, kah, kal, kbh, kbl = _jk_refined(
-            self.Bhi, self.Blo, cah, cal, cbh, cbl,
-            aux_chunk=self.aux_chunk)
+        if self.b_storage == "packed":
+            jh, jl, kah, kal, kbh, kbl = _jk_refined_packed(
+                self.Bhi, self._f2p, self._fpk, self._dupl,
+                cah, cal, cbh, cbl, aux_chunk=self.aux_chunk)
+        else:
+            jh, jl, kah, kal, kbh, kbl = _jk_refined(
+                self.Bhi, self.Blo, cah, cal, cbh, cbl,
+                aux_chunk=self.aux_chunk)
         J = join_f64(jh, jl)
         Ka = join_f64(kah, kal)
         Kb = join_f64(kbh, kbl)
