@@ -37,9 +37,14 @@ from xtddft_tpu.xc.registry import XCSpec
 
 def _e_point_fn(spec: XCSpec):
     comps = [(w, fl.FUNCTIONALS[name]) for w, name in spec.components]
+    mgga = spec.needs_tau
 
-    def e_point(sv, n, gn):
-        """Energy density at one grid point; sv = [s, gs_x, gs_y, gs_z]."""
+    def e_point(sv, n, gn, tn=None):
+        """Energy density at one grid point; sv = [s, gs_x, gs_y, gs_z]
+        (+ [ts] for MGGA specs, with tn the total kinetic-energy
+        density — the tau channel enters the multicollinear sampling
+        exactly like (s, grad s): tau_s = t * tau_s0 along the
+        direction cosine)."""
         s = sv[0]
         gs = sv[1:4]
         ra = 0.5 * (n + s)
@@ -49,18 +54,33 @@ def _e_point_fn(spec: XCSpec):
         gaa = ga @ ga
         gab = ga @ gb
         gbb = gb @ gb
+        if mgga:
+            ta = 0.5 * (tn + sv[4])
+            tb = 0.5 * (tn - sv[4])
+            extra = (ta, tb)
+        else:
+            extra = ()
         out = 0.0
         for w, f in comps:
-            out = out + w * f(ra, rb, gaa, gab, gbb)
+            out = out + w * f(ra, rb, gaa, gab, gbb, *extra)
         return out
 
     return e_point
 
 
 def sf_kernel_mcol(spec: XCSpec, weights, rho0, nt: int = 20):
-    """Weight-included multicollinear SF kernel matrix (ng, 4, 4) over the
-    (value, grad_x, grad_y, grad_z) components of the transition density."""
-    ra, rb, ga, gb = rho0
+    """Weight-included multicollinear SF kernel matrix over the
+    (value, grad_x, grad_y, grad_z[, tau]) components of the transition
+    density: (ng, 4, 4) for LDA/GGA specs, (ng, 5, 5) for MGGA specs
+    (rho0 then carries (ra, rb, ga, gb, ta, tb)); the tau row/column is
+    the kinetic-energy-density response the reference's SF layer cannot
+    reach at all (its MGGA branches are broken, `xtddft/XTDA.py:242`,
+    and mcfun is only wired for LDA/GGA there)."""
+    mgga = spec.needs_tau
+    if mgga:
+        ra, rb, ga, gb, ta, tb = rho0
+    else:
+        ra, rb, ga, gb = rho0
     n = ra + rb
     m = ra - rb
     gn = ga + gb
@@ -71,6 +91,10 @@ def sf_kernel_mcol(spec: XCSpec, weights, rho0, nt: int = 20):
     m_s = jnp.where(mask, m, 0.0)
     gn_s = jnp.where(mask[None, :], gn, 0.0)
     gm_s = jnp.where(mask[None, :], gm, 0.0)
+    if mgga:
+        # benign masked tau: positive, consistent with g=0 (z=0 in TPSS)
+        tn_s = jnp.where(mask, ta + tb, 1.0)
+        tm_s = jnp.where(mask, ta - tb, 0.0)
 
     e_point = _e_point_fn(spec)
     hess = jax.hessian(e_point, argnums=0)
@@ -86,14 +110,24 @@ def sf_kernel_mcol(spec: XCSpec, weights, rho0, nt: int = 20):
     x = jnp.asarray(1.0 - (1.0 - u) ** 3)
     wt = jnp.asarray(wu * 3.0 * (1.0 - u) ** 2)
 
-    sv0 = jnp.concatenate([m_s[None, :], gm_s], axis=0).T  # (ng, 4)
+    parts = [m_s[None, :], gm_s]
+    if mgga:
+        parts.append(tm_s[None, :])
+    sv0 = jnp.concatenate(parts, axis=0).T  # (ng, 4[5])
     gn_T = gn_s.T  # (ng, 3)
 
-    def per_t(t):
-        def per_point(sv, n_, gn_):
-            return hess(t * sv, n_, gn_)
+    if mgga:
+        def per_t(t):
+            def per_point(sv, n_, gn_, tn_):
+                return hess(t * sv, n_, gn_, tn_)
 
-        return jax.vmap(per_point)(sv0, n_s, gn_T)  # (ng, 4, 4)
+            return jax.vmap(per_point)(sv0, n_s, gn_T, tn_s)  # (ng, 5, 5)
+    else:
+        def per_t(t):
+            def per_point(sv, n_, gn_):
+                return hess(t * sv, n_, gn_)
+
+            return jax.vmap(per_point)(sv0, n_s, gn_T)  # (ng, 4, 4)
 
     H = jnp.tensordot(wt, jax.vmap(per_t)(x), axes=(0, 0))
     # SF-TDA kernel = f_xx + f_yy = 2 * transverse second derivative (the
@@ -105,7 +139,9 @@ def sf_kernel_mcol(spec: XCSpec, weights, rho0, nt: int = 20):
 def sf_mcol_tensor(fxcH_w, ao, orb_o, orb_v):
     """(ia|f_mc|jb) coupling tensor for the dense SF builders.
 
-    fxcH_w: (ng, 4, 4) weight-included kernel; ao: (4, ng, nao)."""
+    fxcH_w: (ng, 4, 4) (LDA/GGA) or (ng, 5, 5) (MGGA: last component is
+    the tau response tau_ia = 1/2 grad phi_i . grad phi_a) weight-included
+    kernel; ao: (4, ng, nao)."""
     po = jnp.einsum("gp,pi->gi", ao[0], jnp.asarray(orb_o))
     pv = jnp.einsum("gp,pa->ga", ao[0], jnp.asarray(orb_v))
     dpo = jnp.einsum("xgp,pi->xgi", ao[1:4], jnp.asarray(orb_o))
@@ -114,7 +150,10 @@ def sf_mcol_tensor(fxcH_w, ao, orb_o, orb_v):
     r1 = jnp.einsum("xgi,ga->xgia", dpo, pv) + jnp.einsum(
         "gi,xga->xgia", po, dpv
     )
-    R = jnp.concatenate([r0, r1], axis=0)  # (4, g, i, a)
+    parts = [r0, r1]
+    if fxcH_w.shape[-1] == 5:
+        parts.append(0.5 * jnp.einsum("xgi,xga->gia", dpo, dpv)[None])
+    R = jnp.concatenate(parts, axis=0)  # (4[5], g, i, a)
     return jnp.einsum("cgia,gcd,dgjb->iajb", R, fxcH_w, R, optimize=True)
 
 
@@ -124,16 +163,26 @@ def sf_v1mat_mcol(ao, fxcH_w, dm1s):
     dm1s: (nset, nao, nao) alpha->beta transition DMs (non-hermitian);
     returns (nset, nao, nao)."""
 
+    mgga = fxcH_w.shape[-1] == 5
+
     def one(dm1):
         r0 = jnp.einsum("gi,ij,gj->g", ao[0], dm1, ao[0])
         r1 = jnp.einsum("xgi,ij,gj->xg", ao[1:4], dm1, ao[0]) + jnp.einsum(
             "gi,ij,xgj->xg", ao[0], dm1, ao[1:4]
         )
-        rho1 = jnp.concatenate([r0[None], r1], axis=0)  # (4, g)
+        parts = [r0[None], r1]
+        if mgga:
+            parts.append(0.5 * jnp.einsum(
+                "xgi,ij,xgj->g", ao[1:4], dm1, ao[1:4])[None])
+        rho1 = jnp.concatenate(parts, axis=0)  # (4[5], g)
         wv = jnp.einsum("gab,bg->ag", fxcH_w, rho1)
         v = jnp.einsum("g,gi,gj->ij", wv[0], ao[0], ao[0])
         vg = jnp.einsum("xg,xgi,gj->ij", wv[1:4], ao[1:4], ao[0])
-        return v + vg + vg.T
+        out = v + vg + vg.T
+        if mgga:
+            out = out + 0.5 * jnp.einsum(
+                "g,xgi,xgj->ij", wv[4], ao[1:4], ao[1:4])
+        return out
     # note: the gradient part is symmetrized ((grad mu) nu + mu (grad nu)),
     # matching `nr_uks_fxc_sf_tda_mc` (`SF_TDA.py:1000-1027`)
 
