@@ -107,9 +107,11 @@ def build_production_state(ref, cache: str | pathlib.Path | None = None,
     pfx = "bmop" if packed else "bmo"
     bhi_p, blo_p = _cached(f"{pfx}_hi"), _cached(f"{pfx}_lo")
     if bhi_p is not None and bhi_p.exists() and blo_p.exists():
+        from xtddft_tpu.scf.df_build import h2d_rows
+
         Bhi_np = np.load(bhi_p, mmap_mode="r")
         Blo_np = np.load(blo_p, mmap_mode="r")
-        Bhi = jnp.asarray(np.ascontiguousarray(Bhi_np))
+        Bhi = h2d_rows(Bhi_np)  # multi-GB: chunked h2d with OOM backoff
         Blo_dev = None
     else:
         if packed:
@@ -138,10 +140,12 @@ def build_production_state(ref, cache: str | pathlib.Path | None = None,
     if ref.spec is not None and ref.spec.components:
         phi_hi_p, phi_lo_p = _cached("phimo_hi"), _cached("phimo_lo")
         if phi_hi_p is not None and phi_hi_p.exists() and phi_lo_p.exists():
+            from xtddft_tpu.scf.df_build import h2d_rows
+
             phi_hi_np = np.load(phi_hi_p, mmap_mode="r")
             phi64 = phi_hi_np.astype(np.float64) + np.load(
                 phi_lo_p, mmap_mode="r")
-            phi_hi = jnp.asarray(np.ascontiguousarray(phi_hi_np))
+            phi_hi = h2d_rows(phi_hi_np)
         else:
             ao = np.asarray(eval_ao(env.layout, env.grid.coords, deriv=1))
             phi_hi, phi_lo = transform_mo_device(ao, mo)

@@ -40,8 +40,78 @@ from xtddft_tpu.utils.dsmat import (eft_matmul_small, ew_mul, split_f64,
                                     ts_matmul)
 
 
+def retry_oom(fn, attempts: int = 6, wait: float = 8.0):
+    """Run ``fn`` with backoff on the tunneled backend's transient
+    RESOURCE_EXHAUSTED: the axon transfer staging arena drains
+    asynchronously, so a multi-GB h2d right after a streaming loop can
+    fail even though HBM itself has room.  gc + sleep lets the arena
+    drain; anything else re-raises immediately."""
+    for k in range(attempts):
+        try:
+            return fn()
+        except jax.errors.JaxRuntimeError as e:
+            if "RESOURCE_EXHAUSTED" not in str(e) or k == attempts - 1:
+                raise
+            import gc
+            import time
+
+            gc.collect()
+            time.sleep(wait * (k + 1))
+
+
 def _split_dev(x):
-    return tuple(map(jnp.asarray, split_f64(x)))
+    hi, lo = split_f64(x)
+    return (retry_oom(lambda: jnp.asarray(hi)),
+            retry_oom(lambda: jnp.asarray(lo)))
+
+
+def _free(*bufs):
+    """Synchronously release device buffers of streamed chunks.
+
+    On the tunneled backend, dropping the last Python reference frees the
+    remote buffer asynchronously — a long streaming loop can accumulate
+    gigabytes of logically-dead chunk buffers and trip RESOURCE_EXHAUSTED
+    on the next allocation even though live data is far under HBM.
+    Explicit .delete() makes the free eager."""
+    for b in bufs:
+        if b is not None and hasattr(b, "delete"):
+            try:
+                b.delete()
+            except Exception:
+                pass
+
+
+def h2d_rows(x_np, dtype=jnp.float32, chunk_bytes: int = 128 << 20):
+    """Host array -> device array, streamed over the leading axis in
+    bounded chunks with OOM backoff.  For multi-100-MB uploads on the
+    tunneled backend a single device_put can exhaust the staging arena;
+    row-chunking bounds the in-flight transfer size."""
+    x_np = np.asarray(x_np)
+    shape = x_np.shape
+    # chunk over a flattened leading axis so per-transfer size is bounded
+    # regardless of how the leading dims factor (e.g. phi (4, ngrid, nmo))
+    x_np = x_np.reshape(-1, shape[-1]) if x_np.ndim > 1 else x_np[:, None]
+    nbytes_row = x_np.shape[1] * np.dtype(np.float32).itemsize
+    rows = max(1, chunk_bytes // max(nbytes_row, 1))
+    if rows >= x_np.shape[0]:
+        return retry_oom(
+            lambda: jnp.asarray(np.asarray(x_np, dtype=np.float32),
+                                dtype=dtype)).reshape(shape)
+    out = retry_oom(lambda: jax.block_until_ready(
+        jnp.zeros(x_np.shape, dtype)))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def _wr(buf, blk, off):
+        return jax.lax.dynamic_update_slice_in_dim(
+            buf, blk.astype(dtype), off, 0)
+
+    for off in range(0, x_np.shape[0], rows):
+        blk = np.asarray(x_np[off:off + rows], dtype=np.float32)
+        b = retry_oom(lambda: jnp.asarray(blk))
+        out = _wr(out, b, jnp.int32(off))
+        jax.block_until_ready(out)
+        _free(b)
+    return out.reshape(shape)
 
 
 @functools.partial(jax.jit, static_argnames=("nnull", "tile"))
@@ -184,6 +254,7 @@ def build_b_device(metric_eig, j3c: np.ndarray,
         # exhausts (measured: RESOURCE_EXHAUSTED at ~20 GB of in-flight
         # transfers on the tunneled chip, with HBM itself fine)
         jax.block_until_ready(Bhi)
+        _free(bh, bl)
     Bhi = Bhi.reshape(naux, nao, nao)
     return Bhi, (Blo.reshape(naux, nao, nao) if keep_lo else None)
 
@@ -227,6 +298,7 @@ def _build_b_device_packed(j2, uh, ul, sh, sl, nnull, col_chunk, tile):
                              jnp.asarray(cs, dtype=jnp.float32),
                              jnp.int32(out_off), nnull=nnull, tile=tile)
         jax.block_until_ready(Bp)  # bound in-flight h2d (see above)
+        _free(bh, bl)
         out_off += width
     assert out_off == npair
     return Bp
@@ -279,6 +351,7 @@ def build_bmo_device(metric_eig, j3c: np.ndarray, C: np.ndarray,
         bh, bl = _split_dev(j3c[off:off + q])
         Thi, Tlo = _acc(Thi, Tlo, bh, bl, jnp.int32(off), tile=tile)
         jax.block_until_ready(Thi)  # bound in-flight h2d (see build_b_device)
+        _free(bh, bl)
         off += q
 
     # stage 2: metric dressing, in place over column blocks.  No column
@@ -359,6 +432,7 @@ def build_bmo_device_packed(metric_eig, j3c: np.ndarray, C: np.ndarray,
         bh, bl = _split_dev(j3c[off:off + q])
         Thi, Tlo = _acc(Thi, Tlo, bh, bl, jnp.int32(off), tile=tile)
         jax.block_until_ready(Thi)  # bound in-flight h2d (see build_b_device)
+        _free(bh, bl)
         off += q
 
     U_pad = np.zeros((naux_pad, U.shape[1]), dtype=np.float64)
@@ -406,6 +480,7 @@ def transform_mo_device(X: np.ndarray, C: np.ndarray, tile: int = 512,
         bh, bl = _split_dev(X2[off:off + chunk])
         uh, ul = ts_matmul(bh, bl, ch[0], ch[1], tile=tile)
         jax.block_until_ready(uh)
+        _free(bh, bl)
         hs.append(uh)
         ls.append(ul)
     nmo = C.shape[1]
@@ -467,6 +542,7 @@ def build_bov_device(metric_eig, j3c: np.ndarray,
         bh, bl = _split_dev(j3c[off:off + q])
         Thi, Tlo = _acc(Thi, Tlo, bh, bl, jnp.int32(off))
         jax.block_until_ready(Thi)  # bound in-flight h2d (see build_b_device)
+        _free(bh, bl)
         off += q
     uh, ul = _split_dev(U)
     sh, sl = _split_dev(1.0 / np.sqrt(w))

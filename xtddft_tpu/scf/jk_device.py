@@ -49,13 +49,23 @@ def _prec(mode: str) -> str:
 def _hbm_budget() -> int | None:
     """Usable accelerator HBM in bytes (None on CPU backends / unknown):
     the storage-policy input for DeviceVeff(b_storage='auto')."""
+    import os
+
+    env = os.environ.get("XTDDFT_HBM_GB")
+    if env:
+        return int(float(env) * 1e9 * 0.92)
     try:
         d = jax.devices()[0]
         if d.platform == "cpu":
             return None
         ms = d.memory_stats()
-        limit = int(ms.get("bytes_limit", 0))
-        return int(limit * 0.92) if limit else None
+        limit = int(ms.get("bytes_limit", 0)) if ms else 0
+        if limit:
+            return int(limit * 0.92)
+        # accelerator with no memory_stats (the tunneled axon backend):
+        # assume a 16 GB v5e-class chip rather than disabling the
+        # storage policy altogether (override with XTDDFT_HBM_GB)
+        return int(16e9 * 0.92)
     except Exception:
         return None
 
@@ -463,17 +473,19 @@ class DeviceVeff:
         if spec is not None and spec.components:
             from xtddft_tpu.grids import eval_ao
 
+            from xtddft_tpu.scf.df_build import h2d_rows
+
             grid = env.grid
             ao = eval_ao(env.layout, grid.coords, deriv=1)
-            # ship per derivative component, synchronously: one multi-GB
-            # device_put can exhaust the remote backend's transfer arena
-            # right after the (already transfer-heavy) B dressing
-            comps = []
-            for x in range(4):
-                c = jnp.asarray(np.asarray(ao[x], dtype=np.float32))
-                jax.block_until_ready(c)
-                comps.append(c)
+            # ship per derivative component in bounded row chunks with
+            # OOM backoff: right after the (already transfer-heavy) B
+            # dressing the remote backend's staging arena may still be
+            # draining, and one multi-100-MB device_put can trip it
+            comps = [h2d_rows(np.asarray(ao[x])) for x in range(4)]
             self.phi = jnp.stack(comps)
+            jax.block_until_ready(self.phi)
+            from xtddft_tpu.scf.df_build import _free
+            _free(*comps)
             self.w32 = jnp.asarray(np.asarray(grid.weights, dtype=np.float32))
             self.w64 = np.asarray(grid.weights, dtype=np.float64)
 
