@@ -477,15 +477,14 @@ class DeviceVeff:
 
             grid = env.grid
             ao = eval_ao(env.layout, grid.coords, deriv=1)
-            # ship per derivative component in bounded row chunks with
-            # OOM backoff: right after the (already transfer-heavy) B
+            # ONE streamed upload into the final (4, ngrid, nao) buffer
+            # (h2d_rows flattens leading axes and row-chunks with OOM
+            # backoff): right after the (already transfer-heavy) B
             # dressing the remote backend's staging arena may still be
-            # draining, and one multi-100-MB device_put can trip it
-            comps = [h2d_rows(np.asarray(ao[x])) for x in range(4)]
-            self.phi = jnp.stack(comps)
+            # draining, and a per-component-then-stack build would also
+            # transiently double phi's HBM footprint
+            self.phi = h2d_rows(np.asarray(ao))
             jax.block_until_ready(self.phi)
-            from xtddft_tpu.scf.df_build import _free
-            _free(*comps)
             self.w32 = jnp.asarray(np.asarray(grid.weights, dtype=np.float32))
             self.w64 = np.asarray(grid.weights, dtype=np.float64)
 
