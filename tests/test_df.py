@@ -271,3 +271,62 @@ def test_production_build_packed_matches_dense(fh_roks_df):
     B64d = np.asarray(d64.B)
     B64p = np.asarray(p64.B)[: B64d.shape[0]]  # drop aux zero-padding
     assert np.abs(B64p - B64d[:, m_i, n_i]).max() < 1e-7
+
+
+def test_sf_df_matches_dense_up_and_down(fh_roks):
+    """DF spin-flip sigma (`sf_sigma_df`) vs the exact in-core dense
+    build for BOTH extypes (`xtddft/XSF_TDA_GPU.py:143-144`: the
+    accelerated SF class covers up AND down) — ALDA0 kernel, operator
+    applied to the identity so every matrix element is checked."""
+    from xtddft_tpu.response.sigma_df import sf_sigma_df
+
+    ref = make_reference(fh_roks)
+    data = build_df_data(ref)
+    nc, no, nv = ref.nc, ref.no, ref.nv
+    for extype, dense_A in (
+        ("up", dense.sf_up_dense(ref, 0)),
+        ("down", dense.sf_down_dense(ref, 0)),
+    ):
+        op = sf_sigma_df(data, extype=extype, method=0)
+        A_df = np.asarray(op.matvec(np.eye(op.dim))).T
+        if extype == "down":
+            # dense flip-down is CV|CO|OV|OO blocked; the operator is
+            # row-major — compare via to_blocked on each column
+            P = op.to_blocked(np.eye(op.dim))  # (dim_blocked, dim)
+            A_df = P @ A_df @ P.T
+        e_ref = np.linalg.eigvalsh(dense_A)
+        e_df = np.linalg.eigvalsh(0.5 * (A_df + A_df.T))
+        assert np.abs(e_ref - e_df).max() * units.HA2EV < 5e-3, extype
+
+
+def test_sf_df_mcol_up(fh_roks):
+    """Flip-up DF sigma with the multicollinear kernel vs dense."""
+    from xtddft_tpu.response.sigma_df import sf_sigma_df
+
+    ref = make_reference(fh_roks)
+    data = build_df_data(ref)
+    A = dense.sf_up_dense(ref, 1)
+    op = sf_sigma_df(data, extype="up", method=1)
+    A_df = np.asarray(op.matvec(np.eye(op.dim))).T
+    e_ref = np.linalg.eigvalsh(A)
+    e_df = np.linalg.eigvalsh(0.5 * (A_df + A_df.T))
+    assert np.abs(e_ref - e_df).max() * units.HA2EV < 5e-3
+
+
+def test_driver_df_backend_sftda(fh_roks_df):
+    """Public `SFTDA(mf, extype=..., backend='df').kernel()` == dense for
+    both extypes (VERDICT r2 #4: flip-up gets the same production route
+    as flip-down), negative SF roots kept."""
+    from xtddft_tpu.methods.drivers import SFTDA
+
+    for extype in ("up", "down"):
+        rd = SFTDA(fh_roks_df, nstates=4, extype=extype,
+                   backend="dense").kernel()
+        rf = SFTDA(fh_roks_df, nstates=4, extype=extype,
+                   backend="df").kernel()
+        assert rf.converged, extype
+        assert rf.solver.startswith("fulljit"), rf.solver
+        assert np.abs(rd.e - rf.e).max() * units.HA2EV < 5e-3, extype
+        # flip-down keeps its below-reference (negative) roots
+        if extype == "down":
+            assert rf.e[0] < 0

@@ -455,19 +455,53 @@ class XTDA(_Base):
 
 
 class SFTDA(_Base):
-    """Spin-flip TDA; extype='up' (Sf=Si+1) or 'down' (Sf=Si-1)."""
+    """Spin-flip TDA; extype='up' (Sf=Si+1) or 'down' (Sf=Si-1).
+
+    backend='df' (auto above the dense gate) is the production path for
+    BOTH extypes — the reference's accelerated SF class handles extype
+    up AND down (`xtddft/XSF_TDA_GPU.py:143-144`); here each runs the
+    density-fitted exchange + MO-grid SF kernel sigma
+    (`sigma_df.sf_sigma_df`) through the fully-jitted Davidson."""
 
     def __init__(self, mf, nstates: int = 5, extype: str = "down",
-                 method: int = 0, use_davidson: bool = False):
+                 method: int = 0, use_davidson: bool = False,
+                 backend: str = "auto", solver: str = "auto"):
         super().__init__(mf, nstates)
         self.extype = extype
         self.method = method
         self.use_davidson = use_davidson
+        self.backend = backend
+        self.solver = solver
 
     def kernel(self) -> ExcitationResult:
         ref = self.ref
         converged = True
-        if self.use_davidson:
+        if self.extype == "up":
+            dim = ref.nc * ref.nv
+        else:
+            dim = (ref.nc + ref.no) * (ref.no + ref.nv)
+        backend = _resolve_backend(ref, self.backend, dim,
+                                   self.use_davidson)
+        solver_label = backend
+        if backend == "df" and self.method == 2 and ref.hyb == 0.0 \
+                and ref.omega == 0.0:
+            backend = "dense"  # collinear pure functional: A is diagonal
+        if backend == "df":
+            from xtddft_tpu.response.sigma_df import (build_df_data,
+                                                      sf_sigma_df)
+
+            # SF spectra are not positive (flip-down roots lie below the
+            # high-spin reference): keep every eigenvalue, as the
+            # reference's SF solvers do (`xtddft/XSF_TDA_GPU.py:877-880`)
+            e, vv, conv, op, solver_label = _df_solve(
+                lambda: build_df_data(ref),
+                lambda data: sf_sigma_df(
+                    data, extype=self.extype, method=self.method),
+                self.nstates, solver=self.solver, pick_positive=False,
+            )
+            v = op.to_blocked(vv) if self.extype == "down" else vv
+            converged = bool(np.all(conv))
+        elif backend == "incore" or self.use_davidson:
             from xtddft_tpu.response.sigma import sf_sigma_operator
             from xtddft_tpu.solver.davidson import davidson
 
@@ -476,7 +510,7 @@ class SFTDA(_Base):
                 op.matvec, op.hdiag, nroots=self.nstates,
                 init_guess=op.init_guess(self.nstates),
             )
-            v = op.to_blocked(vv)
+            v = op.to_blocked(vv) if self.extype == "down" else vv
             converged = bool(np.all(conv))
         else:
             if self.extype == "up":
@@ -489,7 +523,8 @@ class SFTDA(_Base):
         ds2 = None
         if self.extype == "down" and ref.restricted_open:
             ds2 = spin.xsf_delta_s2_roks(ref, v)
-        return ExcitationResult(e=e, v=v, ds2=ds2, converged=converged)
+        return ExcitationResult(e=e, v=v, ds2=ds2, converged=converged,
+                                solver=solver_label)
 
 
 class XSFTDA(_Base):

@@ -662,6 +662,202 @@ def xtda_sigma_df(data: DFData, spin_adapt: bool = True,
     )
 
 
+def sf_sigma_df(data: DFData, extype: str = "up", method: int = 0,
+                dtype=None, precision: str | None = None) -> SigmaOperator:
+    """Density-fitted plain SF-TDA sigma (flip-up AND flip-down).
+
+    The reference's accelerated SF class covers both extypes
+    (`xtddft/XSF_TDA_GPU.py:143-144`: extype 0 = spin-flip up, 1 = down);
+    its flip-up space is beta-occupied x alpha-virtual with exchange-only
+    two-electron coupling (no Coulomb J in spin-flip channels,
+    `xtddft/SF_TDA.py:269-277`) plus the SF xc kernel.  This operator is
+    that production path over the fitted B tensor: for each trial z,
+
+        v_ia = -cx sum_P Bocc[P,ij] Bvir[P,ab] z_jb  (aux-chunked scan)
+             + SF-kernel quadrature through the MO-grid factorization
+             + Fock diagonal terms,
+
+    where for flip-up (occ, vir) = (beta-occ [0,nc), alpha-vir
+    [nc+no,nmo)) and for flip-down (alpha-occ [0,nc+no), beta-vir
+    [nc,nmo)).  Row-major (n_o, n_v) trial layout, identical to the
+    in-core `sigma.sf_sigma_operator`; flip-down's `to_blocked` converts
+    to the CV|CO|OV|OO convention.
+
+    method: 0 = ALDA0, 1 = multicollinear (incl. the MGGA tau channel),
+    2 = collinear (HF exchange only) — `xtddft/SF_TDA.py:19`.
+    """
+    nc, no, nv = data.nc, data.no, data.nv
+    nmo = data.nmo
+    if extype == "up":
+        n_o, n_v = nc, nv
+        osl = slice(0, nc)               # beta-occupied MOs
+        vsl = slice(nc + no, None)       # alpha-virtual MOs
+        # occupied side is BETA-MO-transformed, virtual side ALPHA
+        occ_key, vir_key = "Bocc", "Bvir"
+        f_occ = data.fock_mo[1][:nc, :nc]
+        f_vir = data.fock_mo[0][nc + no:, nc + no:]
+        po_key, pv_key = "phi_o", "phi_v"
+    elif extype == "down":
+        n_o, n_v = nc + no, no + nv
+        osl = slice(0, nc + no)          # alpha-occupied MOs
+        vsl = slice(nc, None)            # beta-virtual MOs
+        occ_key, vir_key = "Bocc", "Bvir"
+        f_occ = data.fock_mo[0][:n_o, :n_o]
+        f_vir = data.fock_mo[1][nc:, nc:]
+        po_key, pv_key = "phi_o", "phi_v"
+    else:
+        raise ValueError(f"extype must be 'up' or 'down', got {extype!r}")
+    if getattr(data, "packed", False):
+        raise NotImplementedError(
+            "sf_sigma_df: dense-layout B only (packed covers the "
+            "spin-conserving 862-AO path)")
+    dim = n_o * n_v
+    if dtype is None:
+        dtype = data.B.dtype
+    acc = jnp.float32 if dtype in (jnp.bfloat16, np.dtype("bfloat16")) else dtype
+    hyb = data.hyb
+
+    # slice ONCE at build time: the sliced occ/vir panels are the only
+    # large tensors the matvec touches, and slicing inside jit would
+    # re-materialize the full B per call
+    def _occ_panel(B_a, B_b):
+        src = (B_b if extype == "up" else B_a)
+        return src[:, osl, osl]
+
+    def _vir_panel(B_a, B_b):
+        src = (B_a if extype == "up" else B_b)
+        return src[:, vsl, vsl]
+
+    B_b = data.B_b if data.B_b is not None else data.B
+    consts = {
+        occ_key: _occ_panel(data.B, B_b),
+        vir_key: _vir_panel(data.B, B_b),
+        "f_occ": jnp.asarray(f_occ, dtype=acc),
+        "f_vir": jnp.asarray(f_vir, dtype=acc),
+    }
+    has_lr = data.B_lr is not None and data.hyb_lr != 0.0
+    hyb_lr = data.hyb_lr
+    if has_lr:
+        B_lr_b = data.B_lr_b if data.B_lr_b is not None else data.B_lr
+        consts["Bocc_lr"] = _occ_panel(data.B_lr, B_lr_b)
+        consts["Bvir_lr"] = _vir_panel(data.B_lr, B_lr_b)
+    has_xc = (
+        method in (0, 1)
+        and data.spec is not None
+        and bool(data.spec.components)
+        and data.phi is not None
+    )
+    if has_xc:
+        from xtddft_tpu.xc.interface import sf_kernel_alda0
+
+        if method == 0:
+            fw = sf_kernel_alda0(data.spec, data.grid_w, data.rho0)
+            consts["sf_k"] = fw.astype(acc)[:, None, None] * jnp.eye(
+                1, dtype=acc)
+            kdim = 1
+        else:
+            from xtddft_tpu.xc.mcol import sf_kernel_mcol
+
+            consts["sf_k"] = sf_kernel_mcol(
+                data.spec, data.grid_w, data.rho0).astype(acc)
+            kdim = int(consts["sf_k"].shape[-1])
+        phi_b = data.phi_b if data.phi_b is not None else data.phi
+        consts[po_key] = (phi_b if extype == "up" else data.phi)[:, :, osl]
+        consts[pv_key] = (data.phi if extype == "up" else phi_b)[:, :, vsl]
+
+    def _matvec_body(C, zs):
+        Bocc, Bvir = C[occ_key], C[vir_key]
+        zs = jnp.asarray(zs, dtype=acc)
+        nz = zs.shape[0]
+        z = zs.reshape(nz, n_o, n_v)
+        zb = z.astype(Bocc.dtype)
+        naux = Bocc.shape[0]
+        # aux-chunked exchange (same budget rule as xsf_sigma_df)
+        budget = 1.5e8
+        target = int(max(1, budget // max(1, nz * n_o * n_v)))
+        chunk = naux
+        for c in range(min(target, naux), 0, -1):
+            if naux % c == 0:
+                chunk = c
+                break
+
+        def _k(Bo, Bv):
+            Bor = Bo.reshape(naux // chunk, chunk, n_o, n_o)
+            Bvr = Bv.reshape(naux // chunk, chunk, n_v, n_v)
+
+            def body(K_acc, Bs):
+                Bc_o, Bc_v = Bs
+                T = jnp.einsum("Pab,xjb->xPja", Bc_v, zb)
+                return K_acc + jnp.einsum("Pij,xPja->xia", Bc_o, T), None
+
+            K0 = jnp.zeros((nz, n_o, n_v), dtype=Bocc.dtype)
+            K, _ = jax.lax.scan(body, K0, (Bor, Bvr))
+            return K
+
+        vs = -hyb * _k(Bocc, Bvir).astype(acc)
+        if has_lr:
+            vs = vs - hyb_lr * _k(C["Bocc_lr"], C["Bvir_lr"]).astype(acc)
+        if has_xc:
+            po, pv = C[po_key], C[pv_key]
+            tmp = jnp.einsum("xov,gv->xgo", z.astype(po.dtype), pv[0])
+            r0 = jnp.einsum("xgo,go->xg", tmp, po[0])
+            if kdim == 1:
+                wv = C["sf_k"][:, 0, 0][None] * r0
+                vs = vs + jnp.einsum(
+                    "xg,go,gv->xov", wv, po[0], pv[0]).astype(acc)
+            else:
+                g1 = jnp.einsum("xgo,ygo->xyg", tmp, po[1:4])
+                tmp2 = jnp.einsum("xov,ygv->xygo", z.astype(po.dtype), pv[1:4])
+                g1 = g1 + jnp.einsum("xygo,go->xyg", tmp2, po[0])
+                parts = [r0[:, None], g1]
+                if kdim == 5:
+                    parts.append(0.5 * jnp.einsum(
+                        "xygo,ygo->xg", tmp2, po[1:4])[:, None])
+                rho1 = jnp.concatenate(parts, axis=1)
+                wv = jnp.einsum("gab,xbg->xag", C["sf_k"], rho1)
+                v = jnp.einsum("xg,go,gv->xov", wv[:, 0], po[0], pv[0])
+                t3 = jnp.einsum("xyg,ygo->xgo", wv[:, 1:4], po[1:4])
+                v = v + jnp.einsum("xgo,gv->xov", t3, pv[0])
+                t4 = jnp.einsum("xyg,ygv->xgv", wv[:, 1:4], pv[1:4])
+                v = v + jnp.einsum("xgv,go->xov", t4, po[0])
+                if kdim == 5:
+                    v = v + 0.5 * jnp.einsum(
+                        "xg,ygo,ygv->xov", wv[:, 4], po[1:4], pv[1:4])
+                vs = vs + v.astype(acc)
+        vs = vs + jnp.einsum("ab,xib->xia", C["f_vir"], z) - jnp.einsum(
+            "ij,xja->xia", C["f_occ"], z)
+        return vs.reshape(nz, -1)
+
+    if precision is None:
+        _matvec = jax.jit(_matvec_body)
+    else:
+        @jax.jit
+        def _matvec(C, zs):
+            with jax.default_matmul_precision(precision):
+                return _matvec_body(C, zs)
+
+    def matvec(zs):
+        return _matvec(consts, zs)
+
+    e_occ = np.diag(np.asarray(f_occ))
+    e_vir = np.diag(np.asarray(f_vir))
+    hdiag = (e_vir[None, :] - e_occ[:, None]).ravel()
+
+    def to_blocked(v):
+        z = v.reshape(n_o, n_v, -1)
+        cv = z[:nc, no:].reshape(nc * nv, -1)
+        co = z[:nc, :no].reshape(nc * no, -1)
+        ov = z[nc:, no:].reshape(no * nv, -1)
+        oo = z[nc:, :no].reshape(no * no, -1)
+        return np.concatenate([cv, co, ov, oo], axis=0)
+
+    return SigmaOperator(
+        matvec=matvec, hdiag=hdiag, dim=dim,
+        _to_blocked=to_blocked if extype == "down" else None,
+        matvec_raw=_matvec, consts=consts,
+    )
+
+
 def xsf_sigma_df(data: DFData, SA: int = 3, foo: float = 1.0,
                  fglobal: float = 1.0, method: int = 0,
                  remove: bool = True, dtype=None) -> SigmaOperator:
