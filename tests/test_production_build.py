@@ -68,3 +68,30 @@ def test_production_cache_roundtrip(fh_ref, tmp_path):
     d32b, d64b = build_production_state(fh_ref, cache=tmp_path, tag="t")
     assert np.array_equal(np.asarray(d32a.B), np.asarray(d32b.B))
     assert np.array_equal(d64a.B, d64b.B)
+
+
+def test_production_build_uks_rsh_mgga_legs():
+    """r3 (VERDICT item 6): the production builder covers UKS references
+    (beta twin tensors), RSH (erf-attenuated B_lr leg), and MGGA (tau in
+    the grid state) — operator action == host `build_df_data`."""
+    from xtddft_tpu.chem import Molecule
+    from xtddft_tpu.response.production import build_production_state
+    from xtddft_tpu.scf import UKS, ROKS
+
+    mol = Molecule.from_atoms("O 0 0 0; H 0 0 0.97", basis="sto-3g",
+                              spin=1)
+    rng = np.random.default_rng(1)
+    for xc in ("cam-b3lyp", "tpssh"):
+        mfu = UKS(mol, xc=xc, grid_level=1, df=True).kernel()
+        ref = make_reference(mfu)
+        data32, data64 = build_production_state(ref)
+        if xc == "cam-b3lyp":
+            assert data64.B_lr is not None and data64.hyb_lr != 0.0
+        else:
+            assert len(data64.rho0) == 6  # tau channel present
+        assert data64.B_b is not None and data64.phi_b is not None
+        op_p = xtda_sigma_df(data64)
+        op_h = xtda_sigma_df(build_df_data(ref))
+        z = rng.normal(size=(2, op_p.dim))
+        assert np.abs(np.asarray(op_p.matvec(z))
+                      - np.asarray(op_h.matvec(z))).max() < 1e-6

@@ -102,7 +102,7 @@ def test_tdhf_df_backend_closed_shell(h2o_rks):
         rf = TDHF(h2o_rks, nstates=3, singlet=singlet,
                   backend="df").kernel()
         assert rf.converged
-        assert rf.solver.startswith("rpa-davidson")
+        assert rf.solver.startswith("rpa-fulljit")
         assert np.abs(rd.e - rf.e).max() * units.HA2EV < 5e-3
         if singlet:
             assert np.abs(np.abs(rd.osc) - np.abs(rf.osc)).max() < 1e-3

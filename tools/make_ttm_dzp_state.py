@@ -65,16 +65,29 @@ def phase_a():
     env = build_env()
     print(f"nao={env.nao} naux={env.aux_layout.nao}", flush=True)
 
-    t0 = time.time()
-    w, U = env.df_metric_eig_host(0.0)
-    print(f"metric eig: {time.time()-t0:.0f}s  naux_kept={w.size}", flush=True)
-    np.save(CACHE / f"{TAG}_metric_w.npy", w)
-    np.save(CACHE / f"{TAG}_metric_U.npy", U)
+    # resumable: each artifact is skipped if already on disk
+    wp, Up = CACHE / f"{TAG}_metric_w.npy", CACHE / f"{TAG}_metric_U.npy"
+    if wp.exists() and Up.exists():
+        print("metric eig: cached", flush=True)
+    else:
+        t0 = time.time()
+        w, U = env.df_metric_eig_host(0.0)
+        print(f"metric eig: {time.time()-t0:.0f}s  naux_kept={w.size}",
+              flush=True)
+        np.save(wp, w)
+        np.save(Up, U)
 
-    t0 = time.time()
-    j3c = env.df_j3c_host(0.0)
-    print(f"j3c: {time.time()-t0:.0f}s  {j3c.nbytes/1e9:.1f} GB", flush=True)
-    np.save(CACHE / f"{TAG}_j3c.npy", j3c)
+    j3p = CACHE / f"{TAG}_j3c.npy"
+    if j3p.exists():
+        print("j3c: cached", flush=True)
+    else:
+        t0 = time.time()
+        j3c = env.df_j3c_host(0.0)
+        print(f"j3c: {time.time()-t0:.0f}s  {j3c.nbytes/1e9:.1f} GB",
+              flush=True)
+        tmp = j3p.with_suffix(".npy.tmp.npy")
+        np.save(tmp, j3c)
+        tmp.rename(j3p)
     print("phase a done", flush=True)
 
 

@@ -76,7 +76,12 @@ def main():
         np.save(fockhf_p, np.stack([ref.fock_a_hf_mo, ref.fock_b_hf_mo]))
     print(f"reference (device dA Fock): {time.time()-t0:.0f}s", flush=True)
     t0 = time.time()
-    data32, data64 = build_production_state(ref, cache=CACHE, tag=TAG)
+    # packed-symmetric B on BOTH dzp legs: the dense hi/lo build peaks at
+    # 11.4 GB (598 AO) / 23 GB (862 AO) on a 16 GB chip whose staging
+    # arena fragments under multi-GB streams (the r3 phase-b OOM);
+    # packed holds 4.3 / 8.7 GB with identical math (exact-f32 hi)
+    data32, data64 = build_production_state(ref, cache=CACHE, tag=TAG,
+                                            packed=True)
     print(f"chip streaming state build: {time.time()-t0:.0f}s", flush=True)
     with jax.default_device(cpu):
         op64 = xtda_sigma_df(data64)

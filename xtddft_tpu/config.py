@@ -6,23 +6,42 @@ _initialized = False
 
 
 def _host_fingerprint() -> str:
-    """Short hash of the host CPU feature set.  XLA:CPU caches AOT
-    executables specialized to the compile machine's ISA extensions;
-    the hosting VM can be re-provisioned between sessions onto a CPU
-    with a different feature mask, and loading a stale cache then risks
-    SIGILL.  Keying the cache directory on the feature flags makes each
-    host variant compile into its own namespace."""
+    """Short hash of the host CPU identity.  XLA:CPU caches AOT
+    executables specialized to the compile machine's ISA extensions AND
+    its LLVM tuning features (e.g. ``prefer-no-scatter``, derived from
+    the CPU *model*, not from the cpuinfo flag list); the hosting VM can
+    be re-provisioned between sessions onto a CPU with the same flags but
+    a different model, and loading a stale cache then spams
+    machine-feature-mismatch errors and risks SIGILL (seen in the r2
+    multichip dryrun tail).  Hash model name + family/stepping + flags +
+    the jaxlib version so every host/toolchain variant compiles into its
+    own namespace."""
     import hashlib
 
+    ident = []
     try:
+        import jaxlib
+
+        ident.append(getattr(jaxlib, "__version__", "?"))
+    except Exception:
+        pass
+    try:
+        seen = set()
         with open("/proc/cpuinfo") as fh:
             for line in fh:
-                if line.startswith("flags"):
-                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
-                    return hashlib.sha1(flags.encode()).hexdigest()[:10]
+                key = line.split(":", 1)[0].strip()
+                if key in ("model name", "cpu family", "model", "stepping",
+                           "flags") and key not in seen:
+                    seen.add(key)
+                    val = line.split(":", 1)[1]
+                    if key == "flags":
+                        val = " ".join(sorted(val.split()))
+                    ident.append(f"{key}={val.strip()}")
     except OSError:
         pass
-    return "generic"
+    if not ident:
+        return "generic"
+    return hashlib.sha1("|".join(ident).encode()).hexdigest()[:10]
 
 
 def initialize() -> None:

@@ -21,8 +21,8 @@ def _displaced(mol: Molecule, ia: int, x: int, h: float) -> Molecule:
 
 
 def _scf_energy(mol: Molecule, kind: str, xc, grid_level: int, occ=None,
-                init=None) -> tuple[float, object]:
-    scf = SCF(mol, kind, xc=xc, grid_level=grid_level)
+                init=None, v_ext=None, x2c=False) -> tuple[float, object]:
+    scf = SCF(mol, kind, xc=xc, grid_level=grid_level, v_ext=v_ext, x2c=x2c)
     mf = scf.kernel(occ=occ, init=init)
     if not mf.converged:
         raise RuntimeError(f"SCF not converged at displaced geometry {mol.coords}")
@@ -39,23 +39,29 @@ def fd_gradient(mf, h: float = 1e-3, stencil: str = "central",
     kind = mf.kind
     xc_name = mf.xc.name if mf.xc is not None else None
     grid_level = mf.env.grid_level
+    v_ext = getattr(mf, "v_ext", None)
+    x2c = bool(getattr(mf.env, "x2c", False))
     atoms = range(mol.natm) if atoms is None else atoms
     g = np.zeros((mol.natm, 3))
     for ia in atoms:
         for x in range(3):
             if stencil == "central":
                 ep, _ = _scf_energy(_displaced(mol, ia, x, h), kind, xc_name,
-                                    grid_level, init=mf.mo_coeff)
+                                    grid_level, init=mf.mo_coeff,
+                                    v_ext=v_ext, x2c=x2c)
                 em, _ = _scf_energy(_displaced(mol, ia, x, -h), kind, xc_name,
-                                    grid_level, init=mf.mo_coeff)
+                                    grid_level, init=mf.mo_coeff,
+                                    v_ext=v_ext, x2c=x2c)
                 g[ia, x] = (ep - em) / (2 * h)
             elif stencil == "forward2":
                 # (-3E0 + 4E(+h) - E(+2h)) / (2h), `grad_hb/tdroks_sfu.py:48`
                 e0 = mf.e_tot
                 e1, _ = _scf_energy(_displaced(mol, ia, x, h), kind, xc_name,
-                                    grid_level, init=mf.mo_coeff)
+                                    grid_level, init=mf.mo_coeff,
+                                    v_ext=v_ext, x2c=x2c)
                 e2, _ = _scf_energy(_displaced(mol, ia, x, 2 * h), kind,
-                                    xc_name, grid_level, init=mf.mo_coeff)
+                                    xc_name, grid_level, init=mf.mo_coeff,
+                                    v_ext=v_ext, x2c=x2c)
                 g[ia, x] = (-3 * e0 + 4 * e1 - e2) / (2 * h)
             else:
                 raise ValueError(f"unknown stencil {stencil!r}")
@@ -75,11 +81,13 @@ def fd_excited_gradient(mf, driver_factory, state: int = 0, h: float = 1e-3,
     kind = mf.kind
     xc_name = mf.xc.name if mf.xc is not None else None
     grid_level = mf.env.grid_level
+    v_ext = getattr(mf, "v_ext", None)
+    x2c = bool(getattr(mf.env, "x2c", False))
     atoms = range(mol.natm) if atoms is None else atoms
 
     def total_energy(m: Molecule) -> float:
         e_scf, mf_d = _scf_energy(m, kind, xc_name, grid_level,
-                                  init=mf.mo_coeff)
+                                  init=mf.mo_coeff, v_ext=v_ext, x2c=x2c)
         res = driver_factory(mf_d).kernel()
         return e_scf + float(res.e[state])
 

@@ -135,19 +135,17 @@ class ExcitedGradients:
 
     def __post_init__(self):
         mf = self.mf
-        # The Lagrangian rebuilds hcore as T(R) + V(R): a picture-changed
-        # sfx2c hcore or a static external potential breaks
-        # kappa-stationarity (g != 0) and would silently corrupt every
-        # gradient/Hessian built here (ADVICE r1).
-        if getattr(mf.env, "x2c", False):
-            raise NotImplementedError(
-                "analytic gradients not implemented for sfx2c references "
-                "(picture-changed hcore is outside the differentiable "
-                "integral layer)")
-        if getattr(mf, "v_ext", None) is not None:
-            raise NotImplementedError(
-                "analytic gradients not implemented for SCF run with an "
-                "external potential (v_ext)")
+        # The Lagrangian rebuilds hcore differentiably: T(R) + V(R) for
+        # nonrelativistic references, the picture-changed sfx2c h1e(R)
+        # (`grad/x2c_diff.py` — uncontracted S/T/V/pVp + smooth projector
+        # decoupling) for `SCF(x2c=True)` references, plus an optional
+        # static external AO potential (the reference's `v_solvent`
+        # pattern, `os_sTDA.py:457`) as a geometry-independent constant
+        # matrix — Tr(D v_ext) contributes to E but not to dE/dR beyond
+        # the density response, which the Lagrangian handles exactly.
+        self.v_ext = (jnp.asarray(np.asarray(mf.v_ext, dtype=np.float64))
+                      if getattr(mf, "v_ext", None) is not None else None)
+        self._x2c_fn = None  # built below (needs _block_jit)
         self.spec = mf.xc
         self.hyb = 1.0
         self.omega = 0.0
@@ -199,6 +197,12 @@ class ExcitedGradients:
                            or mf.env.nao > 40)
         self._ints = make_integral_fn(layout, omega_lr=self.omega,
                                       block_jit=self._block_jit)
+        if getattr(mf.env, "x2c", False):
+            from xtddft_tpu import units
+            from xtddft_tpu.grad.x2c_diff import make_x2c_hcore_fn
+
+            self._x2c_fn = make_x2c_hcore_fn(
+                layout, units.C_AU, block_jit=self._block_jit)
         if self._exc is not None:
             self._exc = jax.jit(self._exc)  # one self-contained unit
         if self._sf_xc is not None:
@@ -237,12 +241,23 @@ class ExcitedGradients:
             self._ints0_cache = fn(jnp.asarray(self.coords0))
         return self._ints0_cache
 
+    def _hcore(self, ints):
+        """Differentiable one-electron Hamiltonian: T+V, or the sfx2c
+        picture-changed h1e(R), plus any static external potential."""
+        if self._x2c_fn is not None:
+            h = self._x2c_fn(ints["coords"])
+        else:
+            h = ints["T"] + ints["V"]
+        if self.v_ext is not None:
+            h = h + self.v_ext
+        return h
+
     # -- SCF energy -----------------------------------------------------------
     def _e_elec(self, ints, kvec):
         Ca, Cb = self._orbs(ints, kvec)
         da = Ca[:, : self.na] @ Ca[:, : self.na].T
         db = Cb[:, : self.nb] @ Cb[:, : self.nb].T
-        h = ints["T"] + ints["V"]
+        h = self._hcore(ints)
         e2, _, _, _ = _jk_energy(ints["eri"], da, db, self.hyb)
         if self.hyb_lr != 0.0:
             _, _, Kla, Klb = _jk_energy(ints["eri_lr"], da, db)
@@ -291,7 +306,7 @@ class ExcitedGradients:
         unit-norm eigenvector."""
         eri = ints["eri"]
         Ca, Cb = self._orbs(ints, kvec)
-        h = ints["T"] + ints["V"]
+        h = self._hcore(ints)
         na, nb = self.na, self.nb
         da = Ca[:, :na] @ Ca[:, :na].T
         db = Cb[:, :nb] @ Cb[:, :nb].T

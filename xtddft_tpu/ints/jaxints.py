@@ -404,6 +404,74 @@ def _nuclear(pc: _PairClass, coords, charges):
     return _cart_to_sph_pair(pc, V_blk)
 
 
+def _pvp(pc: _PairClass, coords, charges):
+    """Spin-free pVp block: W_mu_nu = sum_x <d_x mu| V_nuc |d_x nu> with
+    V_nuc = -sum_C Z_C / r_C (the sfX2C small-small potential; host twin
+    `soc/somf.nuclear_deriv2[0]`, reference analog `sfX2C_soDKH1.py:202
+    get_wso` family).  Electron-coordinate derivative of a Cartesian
+    Gaussian: d g_i/dx = i g_{i-1} - 2a g_{i+1}, so the bra x ket
+    derivative pair maps onto E tables one index higher (ldelta=1) and a
+    Hermite depth of L+2."""
+    a, b, p, P, AB = _pair_geometry(pc, coords)
+    Ex, Ey, Ez = _pair_hermite(pc, a, b, AB, ldelta=1)
+    cc = jnp.asarray(pc.cc)
+    la, lb = pc.la, pc.lb
+    L = la + lb + 2
+    hidx = herm_indices(L)
+    comps_a = cart_components(la)
+    comps_b = cart_components(lb)
+    zero = jnp.zeros_like(cc * AB[:, 0:1])
+
+    def g(Et, i, j, t):
+        if i < 0 or j < 0 or t < 0 or t > i + j:
+            return None
+        return Et[i][j][t]
+
+    def D(Et, i, j, t):
+        """(d_x bra_i)(d_x ket_j) pair-derivative E coefficient."""
+        out = zero
+        v = g(Et, i - 1, j - 1, t)
+        if v is not None and i and j:
+            out = out + (i * j) * v
+        v = g(Et, i - 1, j + 1, t)
+        if v is not None and i:
+            out = out - (2.0 * i) * b * v
+        v = g(Et, i + 1, j - 1, t)
+        if v is not None and j:
+            out = out - (2.0 * j) * a * v
+        v = g(Et, i + 1, j + 1, t)
+        if v is not None:
+            out = out + 4.0 * a * b * v
+        return out
+
+    def E0(Et, i, j, t):
+        v = g(Et, i, j, t)
+        return zero if v is None else v
+
+    rows = []
+    for (ix, iy, iz) in comps_a:
+        for (jx, jy, jz) in comps_b:
+            hrow = []
+            for (t, u, v) in hidx:
+                val = (
+                    D(Ex, ix, jx, t) * E0(Ey, iy, jy, u) * E0(Ez, iz, jz, v)
+                    + E0(Ex, ix, jx, t) * D(Ey, iy, jy, u) * E0(Ez, iz, jz, v)
+                    + E0(Ex, ix, jx, t) * E0(Ey, iy, jy, u) * D(Ez, iz, jz, v)
+                )
+                hrow.append(val * cc)
+            rows.append(jnp.stack(hrow, axis=1))  # (npair, nherm, npp)
+    H = jnp.stack(rows, axis=1)  # (npair, ncart_ab, nherm, npp)
+
+    PQ = P[:, :, None, :] - coords[None, None, :, :]
+    Rd = _stack_R(_hermite_coulomb(L, p[:, :, None], PQ), hidx)
+    pref = 2.0 * jnp.pi / p
+    z = jnp.asarray(charges)
+    W_flat = -jnp.einsum("nAhp,np,npCh,C->nA", H, pref, Rd, z)
+    nca, ncb = ncart(la), ncart(lb)
+    W_blk = W_flat.reshape(-1, nca, ncb)
+    return _cart_to_sph_pair(pc, W_blk)
+
+
 # -- two-electron integrals ---------------------------------------------------
 
 

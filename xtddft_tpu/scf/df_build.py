@@ -40,7 +40,7 @@ from xtddft_tpu.utils.dsmat import (eft_matmul_small, ew_mul, split_f64,
                                     ts_matmul)
 
 
-def retry_oom(fn, attempts: int = 6, wait: float = 8.0):
+def retry_oom(fn, attempts: int = 10, wait: float = 15.0):
     """Run ``fn`` with backoff on the tunneled backend's transient
     RESOURCE_EXHAUSTED: the axon transfer staging arena drains
     asynchronously, so a multi-GB h2d right after a streaming loop can

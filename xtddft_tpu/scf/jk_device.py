@@ -101,27 +101,41 @@ def _jk_fast(Bhi, Ca, Cb, prec, hyb, hyb_lr=0.0, Blr=None):
 
 @functools.partial(jax.jit, static_argnames=("prec", "spec_key"))
 def _xc_fast(phi, w, Ca, Cb, prec, spec_key):
-    """On-chip f32 GGA quadrature: (exc, Va, Vb).  spec_key is the hashable
-    XCSpec (static: selects the functional expression at trace time)."""
+    """On-chip f32 GGA/MGGA quadrature: (exc, Va, Vb).  spec_key is the
+    hashable XCSpec (static: selects the functional expression — and the
+    tau channel for MGGA specs — at trace time)."""
     spec = spec_key
+    needs_tau = bool(getattr(spec, "needs_tau", False))
     with jax.default_matmul_precision(prec):
         rho = []
         for C in (Ca, Cb):
             m = jnp.einsum("xgn,ni->xgi", phi, C)
             r = jnp.einsum("gi,gi->g", m[0], m[0])
             g = 2.0 * jnp.einsum("xgi,gi->xg", m[1:4], m[0])
-            rho.append((r, g))
-        (ra, ga), (rb, gb) = rho
+            t = (0.5 * jnp.einsum("xgi,xgi->g", m[1:4], m[1:4])
+                 if needs_tau else None)
+            rho.append((r, g, t))
+        (ra, ga, ta), (rb, gb, tb) = rho
         mask = (ra > RHO_FLOOR) | (rb > RHO_FLOOR)
         w_m = jnp.where(mask, w, 0.0)
         ra = jnp.where(mask, ra, 1.0)
         rb = jnp.where(mask, rb, 1.0)
         ga = jnp.where(mask[None, :], ga, 0.0)
         gb = jnp.where(mask[None, :], gb, 0.0)
-        wva, wvb, wga, wgb = xci.eval_vxc(spec, w_m, (ra, rb, ga, gb))
-        exc = xci.eval_exc(spec, w_m, (ra, rb, ga, gb))
-        Va = xci._contract_vmat(phi, wva, wga)
-        Vb = xci._contract_vmat(phi, wvb, wgb)
+        rho_t = (ra, rb, ga, gb)
+        if needs_tau:
+            rho_t = rho_t + (jnp.where(mask, ta, 1.0),
+                             jnp.where(mask, tb, 1.0))
+        dv = xci.eval_vxc(spec, w_m, rho_t)
+        exc = xci.eval_exc(spec, w_m, rho_t)
+        if needs_tau:
+            wva, wvb, wga, wgb, wta, wtb = dv
+            Va = xci._contract_vmat(phi, wva, wga, wta)
+            Vb = xci._contract_vmat(phi, wvb, wgb, wtb)
+        else:
+            wva, wvb, wga, wgb = dv
+            Va = xci._contract_vmat(phi, wva, wga)
+            Vb = xci._contract_vmat(phi, wvb, wgb)
         return exc, Va, Vb
 
 
@@ -352,10 +366,10 @@ def _jk_refined(Bhi, Blo, Cahi, Calo, Cbhi, Cblo, aux_chunk=256, tile=512):
     return carry
 
 
-@functools.partial(jax.jit, static_argnames=("tile",))
-def _rho_refined(phi, Chi, Clo, tile=128):
-    """Grid density from compensated MO values: (rho, grho) f32, accurate
-    to ~1e-7 relative (phi itself is f32-exact input data)."""
+@functools.partial(jax.jit, static_argnames=("tile", "tau"))
+def _rho_refined(phi, Chi, Clo, tile=128, tau=False):
+    """Grid density from compensated MO values: (rho, grho[, tau]) f32,
+    accurate to ~1e-7 relative (phi itself is f32-exact input data)."""
     ng = phi.shape[1]
     outs = []
     for x in range(4):
@@ -369,7 +383,14 @@ def _rho_refined(phi, Chi, Clo, tile=128):
             2.0 * jnp.einsum("gi,gi->g", outs[k][0] + outs[k][1], m0)
             for k in (1, 2, 3)
         ])
-    return rho, grho
+        if not tau:
+            return rho, grho
+        # tau = 1/2 sum_x sum_i (d_x m_i)^2, split-product accumulation
+        t = sum(
+            jnp.einsum("gi,gi->g", outs[k][0] + outs[k][1], outs[k][0])
+            + jnp.einsum("gi,gi->g", outs[k][0] + outs[k][1], outs[k][1])
+            for k in (1, 2, 3))
+    return rho, grho, 0.5 * t
 
 
 from xtddft_tpu.utils.dsmat import ew_add as _ewadd
@@ -377,11 +398,12 @@ from xtddft_tpu.utils.dsmat import ew_mul as _ewmul
 
 
 @functools.partial(jax.jit, static_argnames=("tile",))
-def _vxc_refined(phi, wvh, wvl, wgh, wgl, tile=256):
+def _vxc_refined(phi, wvh, wvl, wgh, wgl, tile=256, wth=None, wtl=None):
     """Compensated quadrature contraction V = phi^T diag(wv) phi + sym GGA
-    term, accumulated over the grid axis.  Weights arrive as f32 hi/lo
-    pairs (host-f64 functional derivatives); the weight*phi products are
-    EFT-exact, leaving only the tiled compensated accumulation.
+    term [+ MGGA tau term 1/2 grad(phi)^T diag(wt) grad(phi)], accumulated
+    over the grid axis.  Weights arrive as f32 hi/lo pairs (host-f64
+    functional derivatives); the weight*phi products are EFT-exact,
+    leaving only the tiled compensated accumulation.
     Returns (Vhi, Vlo)."""
     W0h, W0l = _ewmul(wvh[:, None], wvl[:, None], phi[0])
     Wgh = jnp.zeros_like(phi[0])
@@ -393,7 +415,15 @@ def _vxc_refined(phi, wvh, wvl, wgh, wgl, tile=256):
     # A + B + B^T where A = phi0^T W0, B = phi0^T Wg
     ah, al = ts_matmul(phi[0].T, None, W0h, W0l, tile=tile)
     bh, bl = ts_matmul(phi[0].T, None, Wgh, Wgl, tile=tile)
-    return ah + bh + bh.T, al + bl + bl.T
+    Vh, Vl = ah + bh + bh.T, al + bl + bl.T
+    if wth is not None:
+        for x in range(3):
+            th, tl = _ewmul(0.5 * wth[:, None], 0.5 * wtl[:, None],
+                            phi[1 + x])
+            ch, cl = ts_matmul(phi[1 + x].T, None, th, tl, tile=tile)
+            Vh, e = _ewadd(Vh, ch)
+            Vl = Vl + e + cl
+    return Vh, Vl
 
 
 class DeviceVeff:
@@ -411,10 +441,6 @@ class DeviceVeff:
         self.env = env
         self.spec = spec
         self.aux_chunk = aux_chunk
-        if spec is not None and getattr(spec, "needs_tau", False):
-            raise NotImplementedError(
-                "engine='device' quadrature has no tau channel yet (MGGA); "
-                "use the host engine")
         # metric dressing happens ON the chip (the 1e16-flop matmul the
         # host cannot afford at production sizes): raw j3c streams over,
         # B lives only as the device hi/lo pair.  Above ~3 GB per half
@@ -437,6 +463,29 @@ class DeviceVeff:
             b_storage = ("packed" if budget is not None and need > budget
                          else "full")
         self.b_storage = b_storage
+        # Grid tensor FIRST: phi is a single multi-GB contiguous buffer,
+        # and allocating it on a fresh arena always succeeds — after the
+        # transfer-heavy B dressing the tunneled backend's staging arena
+        # is fragmented/draining and the same allocation tripped
+        # RESOURCE_EXHAUSTED at TTM/dzp size (r3 phase-b crash) even with
+        # HBM far from full.  B's streamed build then fills the remaining
+        # space chunkwise, which tolerates fragmentation.
+        self.phi = None
+        if spec is not None and spec.components:
+            from xtddft_tpu.grids import eval_ao
+            from xtddft_tpu.scf.df_build import h2d_rows
+
+            grid = env.grid
+            ao = eval_ao(env.layout, grid.coords, deriv=1)
+            # ONE streamed upload into the final (4, ngrid, nao) buffer
+            # (h2d_rows flattens leading axes and row-chunks with OOM
+            # backoff); a per-component-then-stack build would transiently
+            # double phi's HBM footprint
+            self.phi = h2d_rows(np.asarray(ao))
+            del ao
+            jax.block_until_ready(self.phi)
+            self.w32 = jnp.asarray(np.asarray(grid.weights, dtype=np.float32))
+            self.w64 = np.asarray(grid.weights, dtype=np.float64)
         if b_storage == "packed":
             if spec is not None and abs(getattr(spec, "omega", 0.0)) > 1e-12:
                 raise NotImplementedError(
@@ -468,25 +517,8 @@ class DeviceVeff:
                                       env.df_j3c_host(self.omega))[0]
         # NOTE: the raw host j3c stays cached on env (the response build
         # reuses it); production scripts call env.release_df_host_cache()
-        # once every consumer has its device tensors.
-        self.phi = None
-        if spec is not None and spec.components:
-            from xtddft_tpu.grids import eval_ao
-
-            from xtddft_tpu.scf.df_build import h2d_rows
-
-            grid = env.grid
-            ao = eval_ao(env.layout, grid.coords, deriv=1)
-            # ONE streamed upload into the final (4, ngrid, nao) buffer
-            # (h2d_rows flattens leading axes and row-chunks with OOM
-            # backoff): right after the (already transfer-heavy) B
-            # dressing the remote backend's staging arena may still be
-            # draining, and a per-component-then-stack build would also
-            # transiently double phi's HBM footprint
-            self.phi = h2d_rows(np.asarray(ao))
-            jax.block_until_ready(self.phi)
-            self.w32 = jnp.asarray(np.asarray(grid.weights, dtype=np.float32))
-            self.w64 = np.asarray(grid.weights, dtype=np.float64)
+        # once every consumer has its device tensors.  (phi was uploaded
+        # before the B build — see the fragmentation note above.)
 
     # -- public -----------------------------------------------------------
     def veff(self, Ca: np.ndarray, Cb: np.ndarray, mode: str = "f32"):
@@ -564,8 +596,11 @@ class DeviceVeff:
         return va, vb, float(ej - ek + exc)
 
     def _xc_refined(self, cah, cal, cbh, cbl):
-        ra, ga = _rho_refined(self.phi, cah, cal)
-        rb, gb = _rho_refined(self.phi, cbh, cbl)
+        needs_tau = bool(getattr(self.spec, "needs_tau", False))
+        rho_a = _rho_refined(self.phi, cah, cal, tau=needs_tau)
+        rho_b = _rho_refined(self.phi, cbh, cbl, tau=needs_tau)
+        ra, ga = rho_a[0], rho_a[1]
+        rb, gb = rho_b[0], rho_b[1]
         # pointwise functional on host f64 (exact autodiff code shared
         # with the in-core path)
         cpu = jax.devices("cpu")[0]
@@ -582,20 +617,33 @@ class DeviceVeff:
         rho = (np.where(mask, ra_h, 1.0), np.where(mask, rb_h, 1.0),
                np.where(mask[None, :], ga_h, 0.0),
                np.where(mask[None, :], gb_h, 0.0))
+        if needs_tau:
+            rho = rho + tuple(
+                np.where(mask, np.asarray(t, dtype=np.float64), 1.0)
+                for t in (rho_a[2], rho_b[2]))
         with jax.default_device(cpu):
-            wva, wvb, wga, wgb = [np.asarray(x, dtype=np.float64)
-                                  for x in xci.eval_vxc(
-                                      self.spec, jnp.asarray(w),
-                                      tuple(jnp.asarray(r) for r in rho))]
+            dv = [np.asarray(x, dtype=np.float64)
+                  for x in xci.eval_vxc(
+                      self.spec, jnp.asarray(w),
+                      tuple(jnp.asarray(r) for r in rho))]
             exc = float(xci.eval_exc(self.spec, jnp.asarray(w),
                                      tuple(jnp.asarray(r) for r in rho)))
-        def _v(wv, wg):
+
+        def _v(wv, wg, wt=None):
             wvh, wvl = split_f64(wv)
             wgh, wgl = split_f64(wg)
+            kw = {}
+            if wt is not None:
+                wth, wtl = split_f64(wt)
+                kw = dict(wth=jnp.asarray(wth), wtl=jnp.asarray(wtl))
             return join_f64(*_vxc_refined(
                 self.phi, jnp.asarray(wvh), jnp.asarray(wvl),
-                jnp.asarray(wgh), jnp.asarray(wgl)))
+                jnp.asarray(wgh), jnp.asarray(wgl), **kw))
 
+        if needs_tau:
+            wva, wvb, wga, wgb, wta, wtb = dv
+            return exc, _v(wva, wga, wta), _v(wvb, wgb, wtb)
+        wva, wvb, wga, wgb = dv
         return exc, _v(wva, wga), _v(wvb, wgb)
 
 

@@ -394,8 +394,12 @@ def davidson_fulljit(
     init_guess = np.asarray(init_guess)
     nb = init_guess.shape[0]
     rng = np.random.default_rng(7)
-    max_space = min(dim, max(nb, nb * max_space_factor))
-    max_space = max(nb, nb * (max_space // nb))
+    cap = max(nb, nb * max_space_factor)
+    if cap >= dim:
+        # small problems: whole space reachable (see solver/rpa.py note)
+        max_space = nb * (-(-dim // nb))
+    else:
+        max_space = nb * (cap // nb)
 
     # probe dtype with one matvec (also the compile warm-up for matvec)
     X0 = jnp.asarray(init_guess)

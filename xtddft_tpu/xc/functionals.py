@@ -162,11 +162,24 @@ def _vwn_eps(rho, zeta, params):
     return eP + eA * f / _FPP0 * (1.0 - z4) + (eF - eP) * f * z4
 
 
+def _clip_zeta(ra, rb):
+    """Spin polarization clipped inside the open interval (-1, 1) by a
+    DTYPE-AWARE margin: the fixed 1e-15 margin is below f32 machine
+    epsilon, so on the f32 chip fast path zeta rounds back to exactly
+    +/-1 and the (1 -/+ zeta)^(-4/3) ladders of the polarized
+    correlation limits divide by zero (NaN'd the device-SCF MGGA
+    quadrature).  8*eps keeps ~3 ulps of clearance in either dtype."""
+    rho = ra + rb
+    zeta = (ra - rb) / rho
+    m = 8.0 * jnp.finfo(jnp.result_type(zeta)).eps
+    return jnp.clip(zeta, -1.0 + m, 1.0 - m)
+
+
 def vwn5_c(ra, rb, gaa, gab, gbb):
     ra = _safe_rho(ra)
     rb = _safe_rho(rb)
     rho = ra + rb
-    zeta = jnp.clip((ra - rb) / rho, -1.0 + 1e-15, 1.0 - 1e-15)
+    zeta = _clip_zeta(ra, rb)
     return rho * _vwn_eps(rho, zeta, _VWN5)
 
 
@@ -174,7 +187,7 @@ def vwn3_c(ra, rb, gaa, gab, gbb):
     ra = _safe_rho(ra)
     rb = _safe_rho(rb)
     rho = ra + rb
-    zeta = jnp.clip((ra - rb) / rho, -1.0 + 1e-15, 1.0 - 1e-15)
+    zeta = _clip_zeta(ra, rb)
     return rho * _vwn_eps(rho, zeta, _VWN3)
 
 
@@ -198,7 +211,7 @@ def pw92_c(ra, rb, gaa, gab, gbb):
     ra = _safe_rho(ra)
     rb = _safe_rho(rb)
     rho = ra + rb
-    zeta = jnp.clip((ra - rb) / rho, -1.0 + 1e-15, 1.0 - 1e-15)
+    zeta = _clip_zeta(ra, rb)
     return rho * _pw92_eps(rho, zeta)
 
 
@@ -242,7 +255,7 @@ def pbe_c(ra, rb, gaa, gab, gbb):
     ra = _safe_rho(ra)
     rb = _safe_rho(rb)
     rho = ra + rb
-    zeta = jnp.clip((ra - rb) / rho, -1.0 + 1e-15, 1.0 - 1e-15)
+    zeta = _clip_zeta(ra, rb)
     eps = _pw92_eps(rho, zeta)
     phi = 0.5 * ((1.0 + zeta) ** (2.0 / 3.0) + (1.0 - zeta) ** (2.0 / 3.0))
     kf = (3.0 * jnp.pi**2 * rho) ** (1.0 / 3.0)
@@ -298,11 +311,15 @@ def _tpss_fx(rho, gamma, tau):
     z2 = z * z
     t1 = (10.0 / 81.0 + _TPSS_C * z2 / (1.0 + z2) ** 2) * p
     t2 = (146.0 / 2025.0) * qb * qb
-    # the 1e-60 floor keeps the sqrt's autodiff finite at p=z=0 (uniform
-    # gas / sanitized dummy points): d sqrt(q)/dp = p/sqrt(q) -> 0/0 NaN
-    # without it, and 0-weighted NaNs still poison jax.grad sums
+    # dtype-aware floor keeps the sqrt's autodiff finite at p=z=0
+    # (uniform gas / sanitized dummy points): d sqrt(q)/dp = p/sqrt(q)
+    # -> 0/0 NaN without it, and 0-weighted NaNs still poison jax.grad
+    # sums.  finfo.tiny (1.2e-38 f32 / 2.2e-308 f64) stays representable
+    # on the f32 chip fast path, where a fixed 1e-60 underflows to 0 and
+    # reintroduces the NaN (device-SCF MGGA quadrature).
     t3 = -(73.0 / 405.0) * qb * jnp.sqrt(
-        0.5 * (0.6 * z) ** 2 + 0.5 * p * p + 1e-60
+        0.5 * (0.6 * z) ** 2 + 0.5 * p * p
+        + jnp.finfo(jnp.result_type(p)).tiny
     )
     t4 = (1.0 / _TPSS_KAPPA) * (10.0 / 81.0) ** 2 * p * p
     t5 = 2.0 * jnp.sqrt(_TPSS_E) * (10.0 / 81.0) * (0.6 * z) ** 2
@@ -340,15 +357,21 @@ def tpss_c(ra, rb, gaa, gab, gbb, ta, tb):
     gtot = jnp.maximum(gaa + 2.0 * gab + gbb, 0.0)
     tau_w = gtot / (8.0 * rho)
     z = jnp.clip(tau_w / jnp.maximum(tau, tau_w + 1e-30), 0.0, 1.0)
-    zeta = jnp.clip((ra - rb) / rho, -1.0 + 1e-12, 1.0 - 1e-12)
+    zeta = _clip_zeta(ra, rb)
     # xi = |grad zeta| / (2 (3 pi^2 rho)^(1/3)); |grad zeta|^2 expressed
-    # through the spin gammas: grad zeta = (rb*ga - ra*gb) * 2 / rho^2
-    gz2 = jnp.maximum(
-        4.0 * (rb * rb * gaa - 2.0 * ra * rb * gab + ra * ra * gbb)
-        / rho**4,
-        0.0,
-    )
-    xi2 = gz2 / (4.0 * (3.0 * jnp.pi**2 * rho) ** (2.0 / 3.0))
+    # through the spin gammas: grad zeta = (rb*ga - ra*gb) * 2 / rho^2.
+    # Written in spin-fraction form (sa=rb/rho, sb=ra/rho): the naive
+    # `.../rho**4` quotient NaNs the f32 chip fast path — its autodiff
+    # forms rho**8, which underflows to 0 below rho ~ 1e-5 and divides
+    # the cotangent by it.  Every power here stays f32-representable
+    # down to the 3e-7 density floor.
+    inv_rho = 1.0 / rho
+    sa = rb * inv_rho
+    sb = ra * inv_rho
+    gznum = jnp.maximum(
+        sa * sa * gaa - 2.0 * sa * sb * gab + sb * sb * gbb, 0.0)
+    xi2 = (gznum * inv_rho * inv_rho * inv_rho ** (2.0 / 3.0)
+           / (3.0 * jnp.pi**2) ** (2.0 / 3.0))
     up = jnp.maximum(1.0 + zeta, 1e-12)
     dn = jnp.maximum(1.0 - zeta, 1e-12)
     Cnum = 0.53 + 0.87 * zeta**2 + 0.50 * zeta**4 + 2.26 * zeta**6
