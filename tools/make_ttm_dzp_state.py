@@ -105,6 +105,11 @@ def phase_b():
 
     mf = ROKS(env.mol, xc=XC, grid_level=GRID_LEVEL, env=env,
               engine="device")
+    # packed-symmetric B: the dense layout FITS 16 GB at 598 AO on paper
+    # (7.5 GB live) but the dense-K intermediates on top of it trip the
+    # fragmented post-stream staging arena (two r3 OOMs); packed holds
+    # 2.9 GB and chunks K over the aux axis
+    mf.device_b_storage = "packed"
     mf.verbose = 1
     t0 = time.time()
     out = mf.kernel()
