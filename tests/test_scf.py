@@ -64,3 +64,29 @@ def test_sto3g_ext_second_row():
     mol = Molecule.from_atoms(G.ch2s, basis="sto-3g")
     mf = RHF(mol).kernel()
     assert mf.converged and mf.e_tot < -430.0
+
+
+def test_cross_basis_projection_guess():
+    """`scf/project.py`: sto-3g -> 6-31g MO projection is S-orthonormal
+    and lands the SCF on the same fixed point (the production
+    initial-guess path for the DZ+P state builds)."""
+    import numpy as np
+
+    from xtddft_tpu.chem import Molecule
+    from xtddft_tpu.scf import ROKS
+    from xtddft_tpu.scf.env import Env
+    from xtddft_tpu.scf.project import project_mo
+
+    mol_s = Molecule.from_atoms("O 0 0 0; H 0 0 0.97", basis="sto-3g",
+                                spin=1)
+    mol_b = Molecule.from_atoms("O 0 0 0; H 0 0 0.97", basis="6-31g",
+                                spin=1)
+    mf_s = ROKS(mol_s, xc="b3lyp", grid_level=1).kernel()
+    env_b = Env(mol_b, grid_level=1)
+    C0 = project_mo(mf_s.mo_coeff, mf_s.env.layout, env_b.layout,
+                    s_big=np.asarray(env_b.S))
+    S = np.asarray(env_b.S)
+    assert np.abs(C0.T @ S @ C0 - np.eye(C0.shape[1])).max() < 1e-10
+    out = ROKS(mol_b, xc="b3lyp", grid_level=1).kernel(init=C0)
+    ref = ROKS(mol_b, xc="b3lyp", grid_level=1).kernel()
+    assert out.converged and abs(out.e_tot - ref.e_tot) < 1e-8

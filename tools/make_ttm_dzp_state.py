@@ -111,8 +111,24 @@ def phase_b():
     # 2.9 GB and chunks K over the aux axis
     mf.device_b_storage = "packed"
     mf.verbose = 1
+    # initial guess: the GWH core guess is outside every reachable basin
+    # at this size (locked +5000 Ha period-2 oscillation, r3 logs) — the
+    # production answer is cross-basis projection of the committed
+    # STO-3G TTM solution (`scf/project.py`, pyscf's project_init_guess
+    # pattern).  Falls back to GWH if no small-basis checkpoint matches.
+    init = None
+    small_ck = ROOT / "tests" / "data" / f"{GEOM.replace('_vacuum','')}_ckpt.npz"
+    if small_ck.exists():
+        from xtddft_tpu.scf.checkpoint import load_mf
+        from xtddft_tpu.scf.project import project_mo
+
+        mf_s = load_mf(str(small_ck), df=True)
+        init = project_mo(mf_s.mo_coeff, mf_s.env.layout, env.layout,
+                          s_big=np.asarray(env.S))
+        print(f"projected init from {small_ck.name} "
+              f"({mf_s.env.nao} -> {env.nao} AO)", flush=True)
     t0 = time.time()
-    out = mf.kernel()
+    out = mf.kernel(init=init)
     print(f"device DF-SCF: E = {out.e_tot:.10f} converged={out.converged} "
           f"({time.time()-t0:.0f}s)", flush=True)
     assert out.converged
