@@ -91,11 +91,45 @@ def phase_a():
     print("phase a done", flush=True)
 
 
+def _device_warmup(timeout: float = 180.0):
+    """Fail fast when the tunneled backend's session init deadlocks.
+
+    The axon client occasionally races the remote's teardown of a
+    previous session and then waits on a futex FOREVER (r3: four
+    phase-b attempts frozen at ~10 s CPU).  Other processes connect
+    fine while the wedged one starves, so the cure is process-level:
+    probe the device from a watchdog thread and exit(7) if the first
+    ops don't complete, letting the retry loop relaunch."""
+    import os
+    import threading
+
+    done = threading.Event()
+
+    def _w():
+        import jax
+        import jax.numpy as jnp
+
+        x = jnp.asarray(np.ones((256, 256), dtype=np.float32))
+        (x @ x).block_until_ready()
+        jnp.asarray(np.ones((64, 64))).sum().block_until_ready()  # f64 path
+        done.set()
+
+    import numpy as np
+
+    threading.Thread(target=_w, daemon=True).start()
+    if not done.wait(timeout):
+        print("device session init wedged; exiting for retry", flush=True)
+        os._exit(7)
+    print("device warmup ok", flush=True)
+
+
 def phase_b():
     import numpy as np
 
     from xtddft_tpu.scf import ROKS
     from xtddft_tpu.scf.checkpoint import save_mf
+
+    _device_warmup()
 
     env = build_env()
     env.set_df_j3c(np.load(CACHE / f"{TAG}_j3c.npy", mmap_mode="r"))
