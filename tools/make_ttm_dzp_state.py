@@ -159,8 +159,13 @@ def phase_b():
         mf_s = load_mf(str(small_ck), df=True)
         init = project_mo(mf_s.mo_coeff, mf_s.env.layout, env.layout,
                           s_big=np.asarray(env.S))
+        # the projected guess is already near the basin: start at f32
+        # (bf16's error-vector norm at this Fock scale is pure noise and
+        # wrecks the guess before the stall logic advances the mode)
+        mf.device_start_mode = "f32"
         print(f"projected init from {small_ck.name} "
-              f"({mf_s.env.nao} -> {env.nao} AO)", flush=True)
+              f"({mf_s.env.nao} -> {env.nao} AO), start mode f32",
+              flush=True)
     t0 = time.time()
     out = mf.kernel(init=init)
     print(f"device DF-SCF: E = {out.e_tot:.10f} converged={out.converged} "

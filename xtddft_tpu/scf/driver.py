@@ -138,6 +138,8 @@ class SCF:
         # enough that any healthily-converging run never damps
         self.damp = 0.5
         self.diis_start_grad = 50.0
+        self.device_start_mode = "bf16"  # see kernel: 'f32'/'refined' skip
+                                         # noise-dominated early modes
         self.verbose = 0
         # engine="device": chip-resident mixed-precision DF veff builds
         # (scf/jk_device.py) with a bf16 -> f32 -> compensated-refined
@@ -311,7 +313,14 @@ class SCF:
         # residual-norm progress stalls at that mode's noise floor (the
         # floors are size-dependent, so no absolute thresholds), then
         # advances bf16 -> f32 -> refined
-        mode = "bf16"
+        # start mode: 'bf16' earns its keep only when descending from a
+        # crude guess on a small-Fock-scale system.  At production Fock
+        # scales (TTM/dzp: elements ~6e3) the bf16 error-vector norm is
+        # ~2e3 — pure noise — and three noise diagonalizations destroy
+        # even a projected init before the stall logic advances the mode
+        # (r3 logs: projected E0 = -4775 exploding to +5900 by cycle 3).
+        # Callers seeding from a cross-basis projection start at 'f32'.
+        mode = getattr(self, "device_start_mode", "bf16")
         best_g = np.inf
         stall = 0
         snap = None  # best refined-mode state: (g, fa, fb, e_tot, orbs)
