@@ -44,8 +44,35 @@ GEOM = sys.argv[1] if len(sys.argv) > 1 else "ttm_vacuum"
 TAG = GEOM.replace("_vacuum", "") + "_dzp"
 
 
+def _device_warmup(timeout: float = 180.0):
+    """Fail fast when the tunneled session init deadlocks (see
+    make_ttm_dzp_state._device_warmup — same race, same cure)."""
+    import os
+    import threading
+
+    import numpy as np
+
+    done = threading.Event()
+
+    def _w():
+        import jax.numpy as jnp
+
+        x = jnp.asarray(np.ones((256, 256), dtype=np.float32))
+        (x @ x).block_until_ready()
+        jnp.asarray(np.ones((64, 64))).sum().block_until_ready()
+        done.set()
+
+    threading.Thread(target=_w, daemon=True).start()
+    if not done.wait(timeout):
+        print("device session init wedged; exiting for retry", flush=True)
+        os._exit(7)
+    print("device warmup ok", flush=True)
+
+
 def main():
     import numpy as np
+
+    _device_warmup()  # fail fast if the tunneled session init wedges
 
     import jax
     import jax.numpy as jnp
