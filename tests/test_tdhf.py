@@ -146,3 +146,21 @@ def test_rpa_instability_reported():
     mf = RHF(mol).kernel()
     with pytest.raises(RPAInstabilityError):
         TDHF(mf, nstates=2, singlet=False).kernel()
+
+
+@pytest.mark.parametrize("basis,r", [("sto-3g", 3.5), ("6-31g", 4.5)])
+def test_rpa_instability_reported_df_backend(basis, r):
+    """Unstable references through the DF fulljit path on the CPU
+    backend: the on-device pencil CLAMPS A-B's spectrum rather than
+    raising, so the driver's host stability re-check (Koopmans-seeded
+    probe space) must restore the documented raise (ADVICE r3, medium).
+    The sto-3g case (dim=1) also exercises the tiny-pencil
+    (dim <= 2*nroots) max_space floor."""
+    from xtddft_tpu.methods.drivers import TDHF
+    from xtddft_tpu.response.tdhf import RPAInstabilityError
+
+    mol = Molecule.from_atoms(f"H 0 0 0; H 0 0 {r}", basis=basis,
+                              unit="bohr")
+    mf = RHF(mol, df=True).kernel()
+    with pytest.raises(RPAInstabilityError):
+        TDHF(mf, nstates=2, singlet=False, backend="df").kernel()

@@ -224,10 +224,17 @@ def build_production_state(ref, cache: str | pathlib.Path | None = None,
     common = dict(nc=ref.nc, no=ref.no, nv=ref.nv, hyb=ref.hyb,
                   spec=ref.spec, fock_mo=fock_mo, fock_hf_mo=fock_hf,
                   hyb_lr=hyb_lr)
-    B_dev = Bhi if b_dtype == np.float32 else Bhi.astype(b_dtype)
-    data32 = DFData(B=B_dev, phi=phi_hi, grid_w=grid_w32, rho0=rho0_32,
-                    packed=packed, B_b=Bhi_b, B_lr=Bhi_lr,
-                    B_lr_b=Bhi_lr_b, phi_b=phib_hi, **common)
+    def _cast_b(B):
+        # b_dtype (bf16 HBM-saving option) applies to EVERY B leg — the
+        # UKS/RSH twin tensors are where HBM pressure peaks (ADVICE r3)
+        if B is None or b_dtype == np.float32:
+            return B
+        return B.astype(b_dtype)
+
+    data32 = DFData(B=_cast_b(Bhi), phi=phi_hi, grid_w=grid_w32,
+                    rho0=rho0_32, packed=packed, B_b=_cast_b(Bhi_b),
+                    B_lr=_cast_b(Bhi_lr), B_lr_b=_cast_b(Bhi_lr_b),
+                    phi_b=phib_hi, **common)
     data64 = (DFData(B=B64, phi=phi64, grid_w=grid_w64, rho0=rho0_64,
                      packed=packed, B_b=B64_b, B_lr=B64_lr,
                      B_lr_b=B64_lr_b, phi_b=phib64, **common)

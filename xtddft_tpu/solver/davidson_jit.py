@@ -396,8 +396,10 @@ def davidson_fulljit(
     rng = np.random.default_rng(7)
     cap = max(nb, nb * max_space_factor)
     if cap >= dim:
-        # small problems: whole space reachable (see solver/rpa.py note)
-        max_space = nb * (-(-dim // nb))
+        # small problems: whole space reachable; floor at two expansion
+        # blocks so post-restart expands never overwrite the restart
+        # basis when dim <= nb (see solver/rpa.py note)
+        max_space = max(2 * nb, nb * (-(-dim // nb)))
     else:
         max_space = nb * (cap // nb)
 

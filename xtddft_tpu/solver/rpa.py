@@ -439,8 +439,12 @@ def rpa_fulljit(
         # small problems: make the WHOLE space reachable (rounding the
         # buffer up to a block multiple; surplus rows stay invalid and the
         # canonical orthogonalization drops them) — flooring below dim
-        # would force restart churn that stalls short of tight tolerances
-        max_space = nbx * (-(-dim // nbx))
+        # would force restart churn that stalls short of tight tolerances.
+        # Floor at TWO blocks: the restart seeds one full block (the Ritz
+        # pair), so a single-block buffer would make every post-restart
+        # expand overwrite the restart basis (dynamic_update_slice clamps
+        # the start index) and stall on dim <= nbx pencils
+        max_space = max(2 * nbx, nbx * (-(-dim // nbx)))
     else:
         max_space = nbx * (cap // nbx)
 

@@ -192,7 +192,14 @@ def ts_matmul(a_hi, a_lo, b_hi, b_lo, tile: int = 512):
         p, corr = partial_product(a, al, b, bl)
         s, e2 = _two_sum(s, p)
         e = e + (e2 + corr)
-    return s, e
+    # final renormalization: the TwoSum chain leaves (s, e) with |e| up
+    # to ~2^-24 * max|partial sum|, which under cancellation can DWARF
+    # the result itself — a consumer keeping only `hi` (packed-B /
+    # keep_lo=False storage, `scf/df_build.py`) would then drop real
+    # signal (r4: 3e-2 absolute B error -> 62 Ha Coulomb error at
+    # TTM/dzp).  One more TwoSum is exact (hi+lo unchanged) and makes
+    # `hi` the correctly-rounded f32 of the compensated sum.
+    return _two_sum(s, e)
 
 
 @jax.jit
@@ -227,7 +234,8 @@ def eft_matmul_small(a_hi, a_lo, b_hi, b_lo):
 
     s = jnp.zeros((m, n), jnp.float32)
     e = jnp.zeros((m, n), jnp.float32)
-    return jax.lax.fori_loop(0, k, body, (s, e))
+    s, e = jax.lax.fori_loop(0, k, body, (s, e))
+    return _two_sum(s, e)  # renormalize: hi = correctly-rounded f32 sum
 
 
 @functools.partial(jax.jit, static_argnames=("tile",))
