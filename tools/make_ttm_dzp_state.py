@@ -91,45 +91,51 @@ def phase_a():
     print("phase a done", flush=True)
 
 
-def _device_warmup(timeout: float = 180.0):
+def _device_warmup(timeout: float = 240.0):
     """Fail fast when the tunneled backend's session init deadlocks.
 
     The axon client occasionally races the remote's teardown of a
     previous session and then waits on a futex FOREVER (r3: four
-    phase-b attempts frozen at ~10 s CPU).  Other processes connect
-    fine while the wedged one starves, so the cure is process-level:
-    probe the device from a watchdog thread and exit(7) if the first
-    ops don't complete, letting the retry loop relaunch."""
+    phase-b attempts frozen at ~10 s CPU; r4: one attempt frozen INSIDE
+    `import jax`/backend registration, before any jax op ran).  Other
+    processes connect fine while the wedged one starves, so the cure is
+    process-level: a detached WATCHDOG thread (started before any
+    jax-touching import) exits(7) unless the main thread completes the
+    first device ops in time, letting the retry loop relaunch.  The
+    device work runs on the MAIN thread — the wedge can strike any
+    first-touch path, and only a thread that does NO device work is
+    guaranteed to stay alive to pull the trigger."""
     import os
     import threading
 
     done = threading.Event()
 
-    def _w():
-        import jax
-        import jax.numpy as jnp
+    def _watch():
+        if not done.wait(timeout):
+            print("device session init wedged; exiting for retry",
+                  flush=True)
+            os._exit(7)
 
-        x = jnp.asarray(np.ones((256, 256), dtype=np.float32))
-        (x @ x).block_until_ready()
-        jnp.asarray(np.ones((64, 64))).sum().block_until_ready()  # f64 path
-        done.set()
+    threading.Thread(target=_watch, daemon=True).start()
 
     import numpy as np
+    import jax
+    import jax.numpy as jnp
 
-    threading.Thread(target=_w, daemon=True).start()
-    if not done.wait(timeout):
-        print("device session init wedged; exiting for retry", flush=True)
-        os._exit(7)
+    x = jnp.asarray(np.ones((256, 256), dtype=np.float32))
+    (x @ x).block_until_ready()
+    jnp.asarray(np.ones((64, 64))).sum().block_until_ready()  # f64 path
+    done.set()
     print("device warmup ok", flush=True)
 
 
 def phase_b():
+    _device_warmup()  # FIRST: the wedge can strike inside `import jax`
+
     import numpy as np
 
     from xtddft_tpu.scf import ROKS
     from xtddft_tpu.scf.checkpoint import save_mf
-
-    _device_warmup()
 
     env = build_env()
     env.set_df_j3c(np.load(CACHE / f"{TAG}_j3c.npy", mmap_mode="r"))

@@ -44,28 +44,32 @@ GEOM = sys.argv[1] if len(sys.argv) > 1 else "ttm_vacuum"
 TAG = GEOM.replace("_vacuum", "") + "_dzp"
 
 
-def _device_warmup(timeout: float = 180.0):
+def _device_warmup(timeout: float = 240.0):
     """Fail fast when the tunneled session init deadlocks (see
-    make_ttm_dzp_state._device_warmup — same race, same cure)."""
+    make_ttm_dzp_state._device_warmup — same race, same cure; r4: the
+    watchdog must be the detached thread and the device work must run on
+    the MAIN thread, because the wedge can strike inside `import jax`
+    itself)."""
     import os
     import threading
 
-    import numpy as np
-
     done = threading.Event()
 
-    def _w():
-        import jax.numpy as jnp
+    def _watch():
+        if not done.wait(timeout):
+            print("device session init wedged; exiting for retry",
+                  flush=True)
+            os._exit(7)
 
-        x = jnp.asarray(np.ones((256, 256), dtype=np.float32))
-        (x @ x).block_until_ready()
-        jnp.asarray(np.ones((64, 64))).sum().block_until_ready()
-        done.set()
+    threading.Thread(target=_watch, daemon=True).start()
 
-    threading.Thread(target=_w, daemon=True).start()
-    if not done.wait(timeout):
-        print("device session init wedged; exiting for retry", flush=True)
-        os._exit(7)
+    import numpy as np
+    import jax.numpy as jnp
+
+    x = jnp.asarray(np.ones((256, 256), dtype=np.float32))
+    (x @ x).block_until_ready()
+    jnp.asarray(np.ones((64, 64))).sum().block_until_ready()
+    done.set()
     print("device warmup ok", flush=True)
 
 
