@@ -155,10 +155,16 @@ class SCF:
             self.conv_tol_grad = max(self.conv_tol_grad, 5e-7)
             # the compensated-refined engine's Fock carries ~1e-7-scale
             # rounding noise, so the iteration jitters at a gradient-norm
-            # floor around 1e-6 instead of meeting the host tolerances;
-            # when refined-mode progress stalls, the best-Fock snapshot is
-            # accepted as converged iff its |g| cleared this bar
-            self.device_accept_grad = 1e-5
+            # floor instead of meeting the host tolerances; when
+            # refined-mode progress stalls, the best-Fock snapshot is
+            # accepted as converged iff its |g| cleared this bar.  The
+            # floor is SIZE-dependent (the error-matrix norm aggregates
+            # per-element noise over nao^2 entries at the system's Fock
+            # scale; measured: ~3e-6 at TTM/sto-3g 182 AO, ~1.0e-5 at
+            # TTM/dzp 598 AO), so the bar scales with nao — at 598 AO a
+            # flat 1e-5 sat exactly ON the floor and 200 refined cycles
+            # ground past it without accepting (r4 log)
+            self.device_accept_grad = max(1e-5, 3e-8 * self.env.nao)
             # B storage on the chip: 'auto' packs the symmetric pair axis
             # when the full f32 tensor would blow the HBM budget
             # (`jk_device.DeviceVeff`); force 'packed'/'full' for tests
