@@ -1,0 +1,66 @@
+"""Converge TTM-1Cz/STO-3G through the chip DF-SCF and checkpoint it.
+
+The small-basis solution that seeds the 862-AO DZ+P production SCF via
+cross-basis projection (`tools/make_ttm_dzp_state.py b ttm1cz_vacuum`
+looks for tests/data/ttm1cz_ckpt.npz).  At ~290 AO the host DF path's
+one-time metric dressing is hours on this 1-core host, while the chip
+engine streams it in seconds — so unlike TTM/sto-3g this one runs on
+the device.
+
+Run:  python tools/make_ttm1cz_ckpt.py
+"""
+
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+
+def _device_warmup(timeout: float = 240.0):
+    """Same wedge watchdog as make_ttm_dzp_state (import-level races)."""
+    import os
+    import threading
+
+    done = threading.Event()
+
+    def _watch():
+        if not done.wait(timeout):
+            print("device session init wedged; exiting for retry",
+                  flush=True)
+            os._exit(7)
+
+    threading.Thread(target=_watch, daemon=True).start()
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    x = jnp.asarray(np.ones((256, 256), dtype=np.float32))
+    (x @ x).block_until_ready()
+    jnp.asarray(np.ones((64, 64))).sum().block_until_ready()
+    done.set()
+    print("device warmup ok", flush=True)
+
+
+def main():
+    _device_warmup()
+
+    from xtddft_tpu.chem import Molecule
+    from xtddft_tpu.chem import geometries as G
+    from xtddft_tpu.scf import ROKS
+    from xtddft_tpu.scf.checkpoint import save_mf
+
+    data_dir = pathlib.Path(__file__).resolve().parents[1] / "tests" / "data"
+    mol = Molecule.from_atoms(G.ttm1cz_vacuum, basis="sto-3g", spin=1)
+    t0 = time.time()
+    mf = ROKS(mol, xc="b3lyp", grid_level=1, df=True,
+              engine="device").kernel()
+    print(f"device DF-SCF: E = {mf.e_tot:.10f} converged={mf.converged} "
+          f"({time.time()-t0:.0f}s)", flush=True)
+    assert mf.converged
+    save_mf(mf, str(data_dir / "ttm1cz_ckpt.npz"))
+    print("wrote", data_dir / "ttm1cz_ckpt.npz", flush=True)
+
+
+if __name__ == "__main__":
+    main()

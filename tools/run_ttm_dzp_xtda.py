@@ -129,6 +129,23 @@ def main():
     wall = time.time() - t0
     print(f"chip solve: {wall:.2f}s cycles={info['cycles']} "
           f"nconv={int(conv.sum())}/{NROOTS}", flush=True)
+    # polish at full-f32 MXU precision, seeded from the converged f32
+    # subspace: the default-precision pass floors ~30 meV on the trailing
+    # dzp roots; the 'highest' continuation reaches ~1 meV for ~1 extra
+    # second (same recipe as the 182-AO bench leg)
+    op_hi = xtda_sigma_df(data32, precision="highest")
+    kwp = dict(kw, init_guess=np.asarray(v32, dtype=np.float32).T)
+    davidson_fulljit(op_hi.matvec_raw, op_hi.consts, op_hi.hdiag,
+                     **kwp)  # compile
+    t0 = time.time()
+    e32, v32, conv, info2 = davidson_fulljit(
+        op_hi.matvec_raw, op_hi.consts, op_hi.hdiag, **kwp)
+    wall_polish = time.time() - t0
+    print(f"chip polish (precision=highest): {wall_polish:.2f}s "
+          f"cycles={info2['cycles']} nconv={int(conv.sum())}/{NROOTS}",
+          flush=True)
+    info = {"cycles": info["cycles"] + info2["cycles"]}
+    wall += wall_polish
     print("e32 (eV):", np.round(e32 * units.HA2EV, 4), flush=True)
 
     # host-f64 Rayleigh-Ritz refinement (one blocked f64 matvec)

@@ -162,7 +162,14 @@ def make_reference(mf: MeanField, jk: str = "auto",
 
             Ca = np.asarray(mo_a[:, : nc + no], dtype=np.float64)
             Cb = np.asarray(mo_b[:, : nc], dtype=np.float64)
-            dev = DeviceVeff(env, None)  # spec=None -> hyb=1: veff = J-K
+            # spec=None -> hyb=1: veff = J-K.  One veff call total, so
+            # trade a little compute for HBM safety: packed-symmetric B
+            # whenever the full f32 tensor is multi-GB (the full layout
+            # OOM'd at 598 AO on the fragmented post-dressing arena even
+            # with HBM nominally free, r4 log)
+            b_half = env.aux_layout.nao * env.nao * env.nao * 4
+            dev = DeviceVeff(env, None,
+                             b_storage="packed" if b_half > 3e9 else "auto")
             va, vb, _ = dev.veff(Ca, Cb, mode="refined")
             del dev  # free the AO-basis device B before the response build
             h = np.asarray(env.hcore)
