@@ -392,29 +392,35 @@ def xtda_sigma_df(data: DFData, spin_adapt: bool = True,
 
         The K intermediate T[x,P,j,a] at full naux would be
         batch*naux*nocc*nvir (>10 GB at production sizes), so the aux axis
-        is processed in lax.scan chunks with accumulation (chunk size a
-        divisor of naux: padding would force a full copy of B).  With
-        packed B (f2p given) each chunk is unpacked by one gather first
-        — the extra HBM traffic buys the halved residency that fits
-        862-AO problems on one chip."""
+        is processed in fori_loop chunks with accumulation (chunk size a
+        divisor of naux), sliced IN PLACE from B with dynamic_slice — a
+        lax.scan over a reshaped (naux/chunk, chunk, cols) B materializes
+        a full relaid copy whose chunk axis lands in the 128-lane tile
+        (measured at TTM/dzp: 2.7 GB copy + a 4x-padded 10.9 GB temp at
+        chunk=32 — the r4 'highest'-solve OOM).  With packed B (f2p
+        given) each chunk is unpacked by one gather first — the extra
+        HBM traffic buys the halved residency that fits 862-AO problems
+        on one chip."""
         naux = B.shape[0]
         nz, nocc, nvir = z.shape
         chunk = naux if spmd else _aux_chunk(
             naux, nz, nocc, nvir,
             unpack_cols=0 if f2p is None else nmo * nmo)
-        Br = B.reshape(naux // chunk, chunk, *B.shape[1:])
 
-        def body(K_acc, Bc):
+        def body(i, carry):
+            K_acc, t_acc = carry
+            Bc = jax.lax.dynamic_slice_in_dim(B, i * chunk, chunk, 0)
             if f2p is not None:
                 Bc = _unpack(Bc, f2p)
             t_c = jnp.einsum("Pjb,xjb->xP", Bc[:, o, v], z)
             T = jnp.einsum("Pab,xjb->xPja", Bc[:, v, v], z)
             K_acc = K_acc + jnp.einsum("Pji,xPja->xia", Bc[:, o, o], T)
-            return K_acc, t_c
+            t_acc = jax.lax.dynamic_update_slice(t_acc, t_c, (0, i * chunk))
+            return K_acc, t_acc
 
         K0 = jnp.zeros((nz, nocc, nvir), dtype=z.dtype)
-        K, t_chunks = jax.lax.scan(body, K0, Br)
-        t = jnp.moveaxis(t_chunks, 0, 1).reshape(nz, -1)
+        t0 = jnp.zeros((nz, naux), dtype=z.dtype)
+        K, t = jax.lax.fori_loop(0, naux // chunk, body, (K0, t0))
         return t, K
 
     def _j_back_both(B, t, f2p):
@@ -426,20 +432,19 @@ def xtda_sigma_df(data: DFData, spin_adapt: bool = True,
         nz = t.shape[0]
         chunk = _aux_chunk(naux, nz, nocca, nvira,
                            unpack_cols=nmo * nmo)
-        Br = B.reshape(naux // chunk, chunk, B.shape[1])
-        tr = jnp.moveaxis(t.reshape(nz, naux // chunk, chunk), 0, 1)
 
-        def body(accs, xs):
-            Bc, tc = xs
-            Bf = _unpack(Bc, f2p)
+        def body(i, accs):
             ja, jb = accs
+            Bc = jax.lax.dynamic_slice_in_dim(B, i * chunk, chunk, 0)
+            tc = jax.lax.dynamic_slice_in_dim(t, i * chunk, chunk, 1)
+            Bf = _unpack(Bc, f2p)
             ja = ja + jnp.einsum("Pia,xP->xia", Bf[:, oa, va], tc)
             jb = jb + jnp.einsum("Pia,xP->xia", Bf[:, ob, vb], tc)
-            return (ja, jb), None
+            return ja, jb
 
         acc0 = (jnp.zeros((nz, nocca, nvira), dtype=B.dtype),
                 jnp.zeros((nz, noccb, nvirb), dtype=B.dtype))
-        (ja, jb), _ = jax.lax.scan(body, acc0, (Br, tr))
+        ja, jb = jax.lax.fori_loop(0, naux // chunk, body, acc0)
         return ja, jb
 
     def _k2(B, z, o, v, f2p=None):
@@ -451,18 +456,16 @@ def xtda_sigma_df(data: DFData, spin_adapt: bool = True,
         chunk = naux if spmd else _aux_chunk(
             naux, nz, nvir, nvir,
             unpack_cols=0 if f2p is None else nmo * nmo)
-        Br = B.reshape(naux // chunk, chunk, *B.shape[1:])
 
-        def body(acc, Bc):
+        def body(i, acc):
+            Bc = jax.lax.dynamic_slice_in_dim(B, i * chunk, chunk, 0)
             if f2p is not None:
                 Bc = _unpack(Bc, f2p)
             T = jnp.einsum("Pja,xjb->xPab", Bc[:, o, v], z)
-            acc = acc + jnp.einsum("Pib,xPab->xia", Bc[:, o, v], T)
-            return acc, None
+            return acc + jnp.einsum("Pib,xPab->xia", Bc[:, o, v], T)
 
         K0 = jnp.zeros((nz, nocc, nvir), dtype=z.dtype)
-        K2, _ = jax.lax.scan(body, K0, Br)
-        return K2
+        return jax.lax.fori_loop(0, naux // chunk, body, K0)
 
     def _fxc(C, za, zb):
         """Grid-chunked fxc response (lax.scan over grid blocks); all
