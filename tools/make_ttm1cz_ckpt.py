@@ -53,8 +53,12 @@ def main():
     data_dir = pathlib.Path(__file__).resolve().parents[1] / "tests" / "data"
     mol = Molecule.from_atoms(G.ttm1cz_vacuum, basis="sto-3g", spin=1)
     t0 = time.time()
-    mf = ROKS(mol, xc="b3lyp", grid_level=1, df=True,
-              engine="device").kernel()
+    scf = ROKS(mol, xc="b3lyp", grid_level=1, df=True, engine="device")
+    # GWH start: skip the bf16 leg (its error-vector norm at this Fock
+    # scale is noise — same reasoning as the dzp phase-b f32 start)
+    scf.device_start_mode = "f32"
+    scf.verbose = 1
+    mf = scf.kernel()
     print(f"device DF-SCF: E = {mf.e_tot:.10f} converged={mf.converged} "
           f"({time.time()-t0:.0f}s)", flush=True)
     assert mf.converged
