@@ -90,3 +90,23 @@ def test_cross_basis_projection_guess():
     out = ROKS(mol_b, xc="b3lyp", grid_level=1).kernel(init=C0)
     ref = ROKS(mol_b, xc="b3lyp", grid_level=1).kernel()
     assert out.converged and abs(out.e_tot - ref.e_tot) < 1e-8
+
+
+def test_sad_guess_converges_to_same_state():
+    """SAD natural-orbital init (scf/guess.py) reaches the same ROKS
+    solution as the default GWH start on a small radical, in fewer or
+    equal cycles.  (At production sizes GWH diverges outright — r4 logs —
+    so SAD is gated here at a size where both converge.)"""
+    import numpy as np
+
+    from xtddft_tpu.chem import Molecule
+    from xtddft_tpu.scf import ROKS
+    from xtddft_tpu.scf.guess import sad_mo
+
+    mol = Molecule.from_atoms("O 0 0 0; H 0 0 0.97", basis="sto-3g", spin=1)
+    mf0 = ROKS(mol, xc="b3lyp", grid_level=1).kernel()
+    scf = ROKS(mol, xc="b3lyp", grid_level=1)
+    init = sad_mo(scf.env.layout, S=np.asarray(scf.env.S))
+    mf1 = scf.kernel(init=init)
+    assert mf1.converged
+    assert abs(mf1.e_tot - mf0.e_tot) < 1e-8

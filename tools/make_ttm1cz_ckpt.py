@@ -54,11 +54,16 @@ def main():
     mol = Molecule.from_atoms(G.ttm1cz_vacuum, basis="sto-3g", spin=1)
     t0 = time.time()
     scf = ROKS(mol, xc="b3lyp", grid_level=1, df=True, engine="device")
-    # GWH start: skip the bf16 leg (its error-vector norm at this Fock
-    # scale is noise — same reasoning as the dzp phase-b f32 start)
+    # SAD natural-orbital init: the GWH guess locks into a period-2
+    # oscillation at this size (r4 log, 200 cycles without descending);
+    # skip the bf16 leg (its error-vector norm at this Fock scale is
+    # noise — same reasoning as the dzp phase-b f32 start)
+    from xtddft_tpu.scf.guess import sad_mo
+
+    init = sad_mo(scf.env.layout, S=scf.env.S)
     scf.device_start_mode = "f32"
     scf.verbose = 1
-    mf = scf.kernel()
+    mf = scf.kernel(init=init)
     print(f"device DF-SCF: E = {mf.e_tot:.10f} converged={mf.converged} "
           f"({time.time()-t0:.0f}s)", flush=True)
     assert mf.converged

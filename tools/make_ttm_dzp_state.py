@@ -158,6 +158,14 @@ def phase_b():
     # pattern).  Falls back to GWH if no small-basis checkpoint matches.
     init = None
     small_ck = ROOT / "tests" / "data" / f"{GEOM.replace('_vacuum','')}_ckpt.npz"
+    if not small_ck.exists():
+        # no small-basis solution to project: SAD natural orbitals (the
+        # pyscf-equivalent production guess) instead of the hopeless GWH
+        from xtddft_tpu.scf.guess import sad_mo
+
+        init = sad_mo(env.layout, S=np.asarray(env.S))
+        mf.device_start_mode = "f32"
+        print("SAD natural-orbital init, start mode f32", flush=True)
     if small_ck.exists():
         from xtddft_tpu.scf.checkpoint import load_mf
         from xtddft_tpu.scf.project import project_mo

@@ -114,10 +114,23 @@ def main():
     data32, data64 = build_production_state(ref, cache=CACHE, tag=TAG,
                                             packed=True)
     print(f"chip streaming state build: {time.time()-t0:.0f}s", flush=True)
+    # drop the build/upload executables before compiling the solver: their
+    # cached donated-buffer layouts pin staging allocations, and the
+    # 'highest'-precision solver (bf16 operand splits of the multi-GB B)
+    # needs every byte of contiguous headroom on this 16 GB arena
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
     with jax.default_device(cpu):
         op64 = xtda_sigma_df(data64)
 
-    op = xtda_sigma_df(data32)
+    # ONE solve at precision='highest' (full-f32 MXU contractions): the
+    # default-precision pass floors ~30 meV on the trailing dzp roots,
+    # and keeping a second solver configuration alive for a seeded polish
+    # OOMs the fragmented 16 GB arena at this size — highest-from-scratch
+    # converges in a few extra cycles and stays in the meV regime
+    op = xtda_sigma_df(data32, precision="highest")
     kw = dict(nroots=NROOTS, init_guess=op.init_guess(NROOTS), tol=None,
               max_space_factor=8, pick_positive=True, return_info=True)
     t0 = time.time()
@@ -127,25 +140,9 @@ def main():
     e32, v32, conv, info = davidson_fulljit(
         op.matvec_raw, op.consts, op.hdiag, **kw)
     wall = time.time() - t0
-    print(f"chip solve: {wall:.2f}s cycles={info['cycles']} "
-          f"nconv={int(conv.sum())}/{NROOTS}", flush=True)
-    # polish at full-f32 MXU precision, seeded from the converged f32
-    # subspace: the default-precision pass floors ~30 meV on the trailing
-    # dzp roots; the 'highest' continuation reaches ~1 meV for ~1 extra
-    # second (same recipe as the 182-AO bench leg)
-    op_hi = xtda_sigma_df(data32, precision="highest")
-    kwp = dict(kw, init_guess=np.asarray(v32, dtype=np.float32).T)
-    davidson_fulljit(op_hi.matvec_raw, op_hi.consts, op_hi.hdiag,
-                     **kwp)  # compile
-    t0 = time.time()
-    e32, v32, conv, info2 = davidson_fulljit(
-        op_hi.matvec_raw, op_hi.consts, op_hi.hdiag, **kwp)
-    wall_polish = time.time() - t0
-    print(f"chip polish (precision=highest): {wall_polish:.2f}s "
-          f"cycles={info2['cycles']} nconv={int(conv.sum())}/{NROOTS}",
+    print(f"chip solve (precision=highest): {wall:.2f}s "
+          f"cycles={info['cycles']} nconv={int(conv.sum())}/{NROOTS}",
           flush=True)
-    info = {"cycles": info["cycles"] + info2["cycles"]}
-    wall += wall_polish
     print("e32 (eV):", np.round(e32 * units.HA2EV, 4), flush=True)
 
     # host-f64 Rayleigh-Ritz refinement (one blocked f64 matvec)
@@ -188,4 +185,18 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # noqa: BLE001
+        if "RESOURCE_EXHAUSTED" in str(exc):
+            # the tunneled backend's staging arena fragments
+            # nondeterministically after multi-GB uploads; a fresh
+            # process gets a fresh arena and the disk-cached artifacts
+            # make the restart cheap — hand rc=7 to the retry wrapper
+            import os
+            import traceback
+
+            traceback.print_exc()
+            print("HBM arena exhausted; exiting for retry", flush=True)
+            os._exit(7)
+        raise
