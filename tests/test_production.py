@@ -129,7 +129,11 @@ def test_dzp_cached_operator_matches_golden(dzp_golden):
     tag, g = dzp_golden
     cache = pathlib.Path(__file__).parents[1] / "cache"
     ck = _DATA / f"{tag}_ckpt.npz"
-    if not (ck.exists() and (cache / f"{tag}_bmo_hi.npy").exists()
+    # the production run writes either the dense (bmo) or the packed
+    # (bmop) dressed-tensor cache; build_production_state accepts both
+    bmo_ok = any((cache / f"{tag}_{p}_hi.npy").exists()
+                 for p in ("bmo", "bmop"))
+    if not (ck.exists() and bmo_ok
             and (cache / f"{tag}_fockhf.npy").exists()):
         pytest.skip("dzp cached state artifacts missing")
     mf = load_mf(str(ck))

@@ -13,9 +13,17 @@ def _host_fingerprint() -> str:
     be re-provisioned between sessions onto a CPU with the same flags but
     a different model, and loading a stale cache then spams
     machine-feature-mismatch errors and risks SIGILL (seen in the r2
-    multichip dryrun tail).  Hash model name + family/stepping + flags +
-    the jaxlib version so every host/toolchain variant compiles into its
-    own namespace."""
+    multichip dryrun tail).
+
+    /proc/cpuinfo alone is NOT a sufficient key on this hosting stack:
+    the VM genericizes the model name ("Intel(R) Xeon(R) Processor @
+    2.10GHz") and the flag list, while LLVM inside XLA queries CPUID
+    directly — two differently-featured hosts (one AMX-capable, one not:
+    the exact mismatch pair in the BENCH_r04 error tail) can present
+    identical cpuinfo.  numpy performs the same runtime CPUID feature
+    detection LLVM does, so its ``__cpu_features__`` dict (AVX512_SPR,
+    AVX512_SKX, ... baseline groups resolve the real microarchitecture)
+    is hashed in alongside cpuinfo + the jaxlib version."""
     import hashlib
 
     ident = []
@@ -23,6 +31,16 @@ def _host_fingerprint() -> str:
         import jaxlib
 
         ident.append(getattr(jaxlib, "__version__", "?"))
+    except Exception:
+        pass
+    try:
+        # runtime CPUID detection (sees through the VM's genericized
+        # cpuinfo; numpy._core is the non-deprecated alias of the same
+        # module)
+        from numpy._core._multiarray_umath import __cpu_features__
+
+        ident.append("cpuid=" + ",".join(
+            sorted(k for k, v in __cpu_features__.items() if v)))
     except Exception:
         pass
     try:

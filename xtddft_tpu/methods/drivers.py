@@ -83,6 +83,42 @@ def _resolve_backend(ref: Reference, backend: str, dim: int,
     return "dense"
 
 
+def _restrict_sigma_op(op, keep: np.ndarray):
+    """Matrix-free row/column restriction P^T A P of a sigma operator to
+    the ``keep`` index set (frozen-core: the DF analog of slicing the
+    dense A, `xtddft/XSF_TDA.py:1483 frozen_A`).  Trial vectors are
+    embedded with zeros on the frozen rows, pushed through the full
+    matvec, and the kept rows extracted — exactly A[keep][:, keep] at
+    unchanged per-matvec cost."""
+    import jax.numpy as jnp
+
+    from xtddft_tpu.response.sigma import SigmaOperator
+
+    keep = np.asarray(keep)
+    keep_j = jnp.asarray(keep)
+    dim_full = op.dim
+    inner_raw = op.matvec_raw
+
+    def matvec_raw(C, zs):
+        zs = jnp.asarray(zs)
+        zfull = jnp.zeros((zs.shape[0], dim_full), zs.dtype)
+        zfull = zfull.at[:, keep_j].set(zs)
+        return inner_raw(C, zfull)[:, keep_j]
+
+    def matvec(zs):
+        return matvec_raw(op.consts, zs)
+
+    def to_blocked(v):
+        v = np.asarray(v)
+        vf = np.zeros((dim_full,) + v.shape[1:], dtype=v.dtype)
+        vf[keep] = v
+        return op.to_blocked(vf)
+
+    return SigmaOperator(
+        matvec=matvec, hdiag=np.asarray(op.hdiag)[keep], dim=keep.size,
+        _to_blocked=to_blocked, matvec_raw=matvec_raw, consts=op.consts)
+
+
 def _df_solve(build_data, make_op, nroots: int, solver: str = "auto",
               pick_positive: bool = False):
     """Production DF eigensolve: one fused device dispatch.
@@ -261,10 +297,18 @@ def _pencil_probe_basis(xpy, xmy, hdiag, nroots: int) -> np.ndarray:
     stays solvable, and the Koopmans seeds guarantee the probe space sees
     the low-gap directions where instabilities live."""
     dim = xpy.shape[0]
+    nseed = min(max(2 * nroots, 8), dim)
+    seed = np.zeros((dim, nseed))
+    order = np.argsort(np.asarray(hdiag))
+    seed[order[:nseed], np.arange(nseed)] = 1.0
     W = np.concatenate([xpy, xmy], axis=1).astype(np.float64)
     if np.isfinite(W).all():
-        V, _ = np.linalg.qr(W)
-        return V
+        # Koopmans seeds in BOTH branches: finite-but-degenerate clamped
+        # amplitudes can still miss the unstable direction, and the
+        # stability re-check is only as good as its probe space
+        Q, R = np.linalg.qr(np.concatenate([W, seed], axis=1))
+        keep = np.abs(np.diag(R)) > 1e-10
+        return Q[:, keep[: Q.shape[1]]]
     # garbage case: zero the non-finite columns, renormalize survivors,
     # and LEAD with the Koopmans probes (a trailing all-zero block would
     # put zeros on R's leading diagonal and the rank filter would drop
@@ -273,10 +317,6 @@ def _pencil_probe_basis(xpy, xmy, hdiag, nroots: int) -> np.ndarray:
     norms = np.linalg.norm(W, axis=0)
     good = norms > 1e-12 * max(1.0, float(norms.max()))
     W = W[:, good] / norms[good][None, :]
-    nseed = min(max(2 * nroots, 8), dim)
-    seed = np.zeros((dim, nseed))
-    order = np.argsort(np.asarray(hdiag))
-    seed[order[:nseed], np.arange(nseed)] = 1.0
     Q, R = np.linalg.qr(np.concatenate([seed, W], axis=1))
     keep = np.abs(np.diag(R)) > 1e-10
     return Q[:, keep[: Q.shape[1]]]
@@ -652,18 +692,37 @@ class XSFTDA(_Base):
         converged = True
         dim = (ref.nc + ref.no) * (ref.no + ref.nv)
         backend = _resolve_backend(ref, self.backend, dim, self.use_davidson)
-        if frozen is not None and backend != "dense":
-            raise ValueError("frozen core requires backend='dense'")
+        if frozen is not None and backend not in ("dense", "df"):
+            raise ValueError("frozen core requires backend='dense' or 'df'")
         solver_label = backend
         if backend == "df":
             from xtddft_tpu.response.sigma_df import build_df_data, xsf_sigma_df
 
-            e, vv, conv, op, solver_label = _df_solve(
-                lambda: build_df_data(ref),
-                lambda data: xsf_sigma_df(
+            keep_df = None
+            if frozen is not None:
+                # same index arithmetic as the dense branch below: drop
+                # the innermost f core orbitals from the CV and CO rows
+                if remove:
+                    raise ValueError(
+                        "frozen core is a remove=False feature (as in the "
+                        "reference's frozen_A path)")
+                f = 1 if frozen is True else max(int(frozen), 1)
+                nc, no_, nv = ref.nc, ref.no, ref.nv
+                if f > nc:
+                    raise ValueError(f"frozen={f} exceeds nc={nc}")
+                d1, d2 = nc * nv, nc * nv + nc * no_
+                keep_df = np.r_[f * nv: d1, d2 - (nc - f) * no_: dim]
+
+            def _make_xsf(data):
+                op_ = xsf_sigma_df(
                     data, SA=self.SA, foo=foo, fglobal=fglobal,
                     method=self.method, remove=remove,
-                ),
+                )
+                return (op_ if keep_df is None
+                        else _restrict_sigma_op(op_, keep_df))
+
+            e, vv, conv, op, solver_label = _df_solve(
+                lambda: build_df_data(ref), _make_xsf,
                 n, solver=self.solver,
             )
             n = min(n, op.dim)

@@ -77,6 +77,21 @@ class DFData:
         return self.fock_mo.shape[-1]
 
 
+def _aux_chunk(naux, nz, nocc, nvir, budget=1.5e8, unpack_cols=0):
+    """Largest divisor of naux keeping the K chunk intermediate
+    (nz*chunk*nocc*nvir elements) under budget; with packed B the
+    chunk's unpacked/gathered (chunk, unpack_cols) buffer is capped at
+    ~256 MB (the packed builder zero-pads naux to a multiple of 256, so
+    power-of-2-ish divisors exist)."""
+    target = int(max(1, budget // max(1, nz * nocc * nvir)))
+    if unpack_cols:
+        target = min(target, max(1, int(6.4e7 // unpack_cols)))
+    for c in range(min(target, naux), 0, -1):
+        if naux % c == 0:
+            return c
+    return 1
+
+
 def _mo_transform(B_ao, mo) -> jnp.ndarray:
     """(naux, nao, nao) -> (naux, nmo, nmo), batched over aux on device."""
     mo_d = jnp.asarray(mo)
@@ -368,20 +383,6 @@ def xtda_sigma_df(data: DFData, spin_adapt: bool = True,
     dim = na + noccb * nvirb
     oa, va = slice(0, nocca), slice(nocca, None)
     ob, vb = slice(0, noccb), slice(noccb, None)
-
-    def _aux_chunk(naux, nz, nocc, nvir, budget=1.5e8, unpack_cols=0):
-        """Largest divisor of naux keeping the K chunk intermediate
-        (nz*chunk*nocc*nvir elements) under budget; with packed B the
-        chunk's unpacked (chunk, nmo^2) buffer is capped at ~256 MB
-        (the packed builder zero-pads naux to a multiple of 256, so
-        power-of-2-ish divisors exist)."""
-        target = int(max(1, budget // max(1, nz * nocc * nvir)))
-        if unpack_cols:
-            target = min(target, max(1, int(6.4e7 // unpack_cols)))
-        for c in range(min(target, naux), 0, -1):
-            if naux % c == 0:
-                return c
-        return 1
 
     def _unpack(Bc, f2p):
         """(chunk, npair) packed rows -> (chunk, nmo, nmo) full."""
@@ -710,10 +711,12 @@ def sf_sigma_df(data: DFData, extype: str = "up", method: int = 0,
         po_key, pv_key = "phi_o", "phi_v"
     else:
         raise ValueError(f"extype must be 'up' or 'down', got {extype!r}")
-    if getattr(data, "packed", False):
+    packed = bool(getattr(data, "packed", False))
+    if packed and (data.B_b is not None or
+                   (data.B_lr is not None and data.hyb_lr != 0.0)):
         raise NotImplementedError(
-            "sf_sigma_df: dense-layout B only (packed covers the "
-            "spin-conserving 862-AO path)")
+            "packed B covers R/RO non-RSH references (the 862-AO "
+            "production target); use the dense layout otherwise")
     dim = n_o * n_v
     if dtype is None:
         dtype = data.B.dtype
@@ -732,12 +735,29 @@ def sf_sigma_df(data: DFData, extype: str = "up", method: int = 0,
         return src[:, vsl, vsl]
 
     B_b = data.B_b if data.B_b is not None else data.B
-    consts = {
-        occ_key: _occ_panel(data.B, B_b),
-        vir_key: _vir_panel(data.B, B_b),
-        "f_occ": jnp.asarray(f_occ, dtype=acc),
-        "f_vir": jnp.asarray(f_vir, dtype=acc),
-    }
+    if packed:
+        # packed-symmetric storage cannot be panel-sliced up front (the
+        # pair triangle interleaves rows): keep the packed tensor whole
+        # and gather the occ/vir panels per aux chunk inside the matvec
+        # — the same gather-per-chunk trade the spin-conserving packed
+        # path makes, which is what fits TTM-1Cz/dzp (862 AO) on 16 GB
+        from xtddft_tpu.scf.df_build import pack_indices
+
+        f2p_m = np.asarray(pack_indices(nmo)[1]).reshape(nmo, nmo)
+        consts = {
+            "Bp": data.B,
+            "f2p_oo": jnp.asarray(f2p_m[osl, osl].ravel()),
+            "f2p_vv": jnp.asarray(f2p_m[vsl, vsl].ravel()),
+            "f_occ": jnp.asarray(f_occ, dtype=acc),
+            "f_vir": jnp.asarray(f_vir, dtype=acc),
+        }
+    else:
+        consts = {
+            occ_key: _occ_panel(data.B, B_b),
+            vir_key: _vir_panel(data.B, B_b),
+            "f_occ": jnp.asarray(f_occ, dtype=acc),
+            "f_vir": jnp.asarray(f_vir, dtype=acc),
+        }
     has_lr = data.B_lr is not None and data.hyb_lr != 0.0
     hyb_lr = data.hyb_lr
     if has_lr:
@@ -769,35 +789,52 @@ def sf_sigma_df(data: DFData, extype: str = "up", method: int = 0,
         consts[pv_key] = (data.phi if extype == "up" else phi_b)[:, :, vsl]
 
     def _matvec_body(C, zs):
-        Bocc, Bvir = C[occ_key], C[vir_key]
+        Bref = C["Bp"] if packed else C[occ_key]
         zs = jnp.asarray(zs, dtype=acc)
         nz = zs.shape[0]
         z = zs.reshape(nz, n_o, n_v)
-        zb = z.astype(Bocc.dtype)
-        naux = Bocc.shape[0]
-        # aux-chunked exchange (same budget rule as xsf_sigma_df)
-        budget = 1.5e8
-        target = int(max(1, budget // max(1, nz * n_o * n_v)))
-        chunk = naux
-        for c in range(min(target, naux), 0, -1):
-            if naux % c == 0:
-                chunk = c
-                break
+        zb = z.astype(Bref.dtype)
+        naux = Bref.shape[0]
+        # aux-chunked exchange (same budget rule as xsf_sigma_df); with
+        # packed B the per-chunk gathered panels (chunk*(n_o^2+n_v^2))
+        # are capped too
+        chunk = _aux_chunk(
+            naux, nz, n_o, n_v,
+            unpack_cols=(n_o * n_o + n_v * n_v) if packed else 0)
 
         def _k(Bo, Bv):
-            Bor = Bo.reshape(naux // chunk, chunk, n_o, n_o)
-            Bvr = Bv.reshape(naux // chunk, chunk, n_v, n_v)
+            """Dense panels: sliced IN PLACE per chunk (a reshaped scan
+            materializes a relaid copy whose chunk axis lands in the
+            128-lane tile — the r4 10.9 GB OOM pattern)."""
 
-            def body(K_acc, Bs):
-                Bc_o, Bc_v = Bs
+            def body(i, K_acc):
+                Bc_o = jax.lax.dynamic_slice_in_dim(Bo, i * chunk, chunk, 0)
+                Bc_v = jax.lax.dynamic_slice_in_dim(Bv, i * chunk, chunk, 0)
                 T = jnp.einsum("Pab,xjb->xPja", Bc_v, zb)
-                return K_acc + jnp.einsum("Pij,xPja->xia", Bc_o, T), None
+                return K_acc + jnp.einsum("Pij,xPja->xia", Bc_o, T)
 
-            K0 = jnp.zeros((nz, n_o, n_v), dtype=Bocc.dtype)
-            K, _ = jax.lax.scan(body, K0, (Bor, Bvr))
-            return K
+            K0 = jnp.zeros((nz, n_o, n_v), dtype=Bo.dtype)
+            return jax.lax.fori_loop(0, naux // chunk, body, K0)
 
-        vs = -hyb * _k(Bocc, Bvir).astype(acc)
+        def _k_packed(Bp):
+            f2p_oo, f2p_vv = C["f2p_oo"], C["f2p_vv"]
+
+            def body(i, K_acc):
+                Bc = jax.lax.dynamic_slice_in_dim(Bp, i * chunk, chunk, 0)
+                Bc_o = jnp.take(Bc, f2p_oo, axis=1).reshape(
+                    chunk, n_o, n_o)
+                Bc_v = jnp.take(Bc, f2p_vv, axis=1).reshape(
+                    chunk, n_v, n_v)
+                T = jnp.einsum("Pab,xjb->xPja", Bc_v, zb)
+                return K_acc + jnp.einsum("Pij,xPja->xia", Bc_o, T)
+
+            K0 = jnp.zeros((nz, n_o, n_v), dtype=Bp.dtype)
+            return jax.lax.fori_loop(0, naux // chunk, body, K0)
+
+        if packed:
+            vs = -hyb * _k_packed(C["Bp"]).astype(acc)
+        else:
+            vs = -hyb * _k(C[occ_key], C[vir_key]).astype(acc)
         if has_lr:
             vs = vs - hyb_lr * _k(C["Bocc_lr"], C["Bvir_lr"]).astype(acc)
         if has_xc:
@@ -863,7 +900,8 @@ def sf_sigma_df(data: DFData, extype: str = "up", method: int = 0,
 
 def xsf_sigma_df(data: DFData, SA: int = 3, foo: float = 1.0,
                  fglobal: float = 1.0, method: int = 0,
-                 remove: bool = True, dtype=None) -> SigmaOperator:
+                 remove: bool = True, dtype=None,
+                 precision: str | None = None) -> SigmaOperator:
     """Density-fitted XSF-TDA sigma (the flagship method at production
     scale): SF exchange from the fitted B tensor, ALDA0 or multicollinear
     kernel through the MO-grid factorization, and the spin-adapted dA with
@@ -871,15 +909,28 @@ def xsf_sigma_df(data: DFData, SA: int = 3, foo: float = 1.0,
 
     Vector layout and semantics mirror `sigma_xsf.xsf_sigma_operator`
     (CV|CO|OV|OO blocked, OO compressed through the Sf=Si projector when
-    ``remove``)."""
+    ``remove``).
+
+    Packed-symmetric B (`data.packed`) is supported for R/RO non-RSH
+    references — the layout that fits the 862-AO flagship runs on one
+    16 GB chip (the reference's accelerated flip class is
+    `xtddft/XSF_TDA_GPU.py:130-145`): the occ/vir panels are gathered
+    per aux chunk inside the matvec, and the dA MO tensors come from
+    `delta_a_tensors_from_df_packed`.
+
+    precision: None = backend-default matmul precision; 'highest' forces
+    full-f32 MXU contractions (the production residual-floor mode, same
+    contract as `xtda_sigma_df`)."""
     from xtddft_tpu.response.spaces import sf_oo_projector
     from xtddft_tpu.response.xsf_terms import (
         apply_delta_a,
         delta_a_fock_blocks,
         delta_a_tensors_from_df,
+        delta_a_tensors_from_df_packed,
     )
 
     nc, no, nv = data.nc, data.no, data.nv
+    nmo = data.nmo
     n_o, n_v = nc + no, no + nv
     d1, d2, d3 = nc * nv, nc * nv + nc * no, nc * nv + nc * no + no * nv
     noo = no * no - 1 if remove else no * no
@@ -890,12 +941,24 @@ def xsf_sigma_df(data: DFData, SA: int = 3, foo: float = 1.0,
     hyb = data.hyb
     oa = slice(0, n_o)          # alpha occupied MOs
     vb = slice(nc, None)        # beta virtual MOs
+    packed = bool(getattr(data, "packed", False))
+    if packed and (data.B_b is not None or
+                   (data.B_lr is not None and data.hyb_lr != 0.0)):
+        raise NotImplementedError(
+            "packed B covers R/RO non-RSH references (the 862-AO "
+            "production target); use the dense layout otherwise")
 
     consts = {
         "B": data.B,
         "f_occ": jnp.asarray(data.fock_mo[0][:n_o, :n_o], dtype=acc),
         "f_vir": jnp.asarray(data.fock_mo[1][nc:, nc:], dtype=acc),
     }
+    if packed:
+        from xtddft_tpu.scf.df_build import pack_indices
+
+        f2p_m = np.asarray(pack_indices(nmo)[1]).reshape(nmo, nmo)
+        consts["f2p_oo"] = jnp.asarray(f2p_m[oa, oa].ravel())
+        consts["f2p_vv"] = jnp.asarray(f2p_m[vb, vb].ravel())
     has_lr = data.B_lr is not None and data.hyb_lr != 0.0
     hyb_lr = data.hyb_lr
     if has_lr:
@@ -939,14 +1002,17 @@ def xsf_sigma_df(data: DFData, SA: int = 3, foo: float = 1.0,
     dA_on = SA > 0 and data.fock_hf_mo is not None and no > 0
     if dA_on:
         si = 0.5 * no
-        consts["dA"] = delta_a_tensors_from_df(data.B, nc, no, SA, acc)
+        if packed:
+            consts["dA"] = delta_a_tensors_from_df_packed(
+                data.B, f2p_m.reshape(-1), nmo, nc, no, SA, acc)
+        else:
+            consts["dA"] = delta_a_tensors_from_df(data.B, nc, no, SA, acc)
         consts["dA"].update(
             delta_a_fock_blocks(data.fock_hf_mo[0], data.fock_hf_mo[1],
                                 nc, no, acc)
         )
 
-    @jax.jit
-    def _matvec(C, zs):
+    def _matvec_body(C, zs):
         B = C["B"]
         zs = jnp.asarray(zs, dtype=acc)
         nz = zs.shape[0]
@@ -965,55 +1031,56 @@ def xsf_sigma_df(data: DFData, SA: int = 3, foo: float = 1.0,
         z = z.at[:, nc:, no:].set(zov)
         z = z.at[:, nc:, :no].set(zoo)
         # SF exchange: v_ia = -hyb sum_jb (ij|ab) z_jb  (i,j alpha-occ;
-        # a,b beta-vir), DF-factored with the same chunking as _jk
+        # a,b beta-vir), DF-factored — aux chunks sliced IN PLACE with
+        # dynamic_slice (a reshaped scan materializes a relaid copy,
+        # the r4 OOM pattern); packed B gathers the occ/vir panels per
+        # chunk
         zb = z.astype(B.dtype)
         naux = B.shape[0]
-        chunk = naux  # z is (nz, n_o, n_v): reuse full when small
-        budget = 1.5e8
-        target = int(max(1, budget // max(1, nz * n_o * n_v)))
-        for c in range(min(target, naux), 0, -1):
-            if naux % c == 0:
-                chunk = c
-                break
-        Br = B.reshape(naux // chunk, chunk, *B.shape[1:])
+        chunk = _aux_chunk(
+            naux, nz, n_o, n_v,
+            unpack_cols=(n_o * n_o + n_v * n_v) if packed else 0)
         K0 = jnp.zeros((nz, n_o, n_v), dtype=B.dtype)
-        if "B_b" in C:
-            # unrestricted: occupied-side slices from the alpha-MO
-            # tensor, virtual-side from the beta-MO tensor
-            def body2(K_acc, Bs):
-                Bc_a, Bc_b = Bs
+
+        def _k(Ba, Bb_):
+            """Dense: occupied-side panel from Ba, virtual-side from Bb_
+            (twin tensors for UKS references, one tensor for R/RO)."""
+
+            def body(i, K_acc):
+                Bc_a = jax.lax.dynamic_slice_in_dim(Ba, i * chunk, chunk, 0)
+                Bc_b = jax.lax.dynamic_slice_in_dim(Bb_, i * chunk, chunk, 0)
                 T = jnp.einsum("Pab,xjb->xPja", Bc_b[:, vb, vb], zb)
-                K_acc = K_acc + jnp.einsum(
+                return K_acc + jnp.einsum(
                     "Pij,xPja->xia", Bc_a[:, oa, oa], T)
-                return K_acc, None
 
-            Bbr = C["B_b"].reshape(naux // chunk, chunk, *C["B_b"].shape[1:])
-            K, _ = jax.lax.scan(body2, K0, (Br, Bbr))
-            vs = -hyb * K.astype(acc)
-            if has_lr:
-                Blr = C["B_lr"].reshape(
-                    naux // chunk, chunk, *C["B_lr"].shape[1:])
-                Blrb = C["B_lr_b"].reshape(
-                    naux // chunk, chunk, *C["B_lr_b"].shape[1:])
-                K_lr, _ = jax.lax.scan(body2, K0, (Blr, Blrb))
-                vs = vs - hyb_lr * K_lr.astype(acc)
+            return jax.lax.fori_loop(0, naux // chunk, body, K0)
+
+        def _k_packed(Bp):
+            f2p_oo, f2p_vv = C["f2p_oo"], C["f2p_vv"]
+
+            def body(i, K_acc):
+                Bc = jax.lax.dynamic_slice_in_dim(Bp, i * chunk, chunk, 0)
+                Bc_o = jnp.take(Bc, f2p_oo, axis=1).reshape(
+                    chunk, n_o, n_o)
+                Bc_v = jnp.take(Bc, f2p_vv, axis=1).reshape(
+                    chunk, n_v, n_v)
+                T = jnp.einsum("Pab,xjb->xPja", Bc_v, zb)
+                return K_acc + jnp.einsum("Pij,xPja->xia", Bc_o, T)
+
+            return jax.lax.fori_loop(0, naux // chunk, body, K0)
+
+        if packed:
+            vs = -hyb * _k_packed(B).astype(acc)
         else:
-            def body(K_acc, Bc):
-                T = jnp.einsum("Pab,xjb->xPja", Bc[:, vb, vb], zb)
-                K_acc = K_acc + jnp.einsum(
-                    "Pij,xPja->xia", Bc[:, oa, oa], T)
-                return K_acc, None
-
-            K, _ = jax.lax.scan(body, K0, Br)
-            vs = -hyb * K.astype(acc)
+            Bb_t = C["B_b"] if "B_b" in C else B
+            vs = -hyb * _k(B, Bb_t).astype(acc)
             if has_lr:
                 # RSH long-range SF exchange (same omega split as
                 # xtda_sigma_df; B_lr shares the aux layout, so the same
                 # chunking divides it)
-                Blr = C["B_lr"].reshape(
-                    naux // chunk, chunk, *C["B_lr"].shape[1:])
-                K_lr, _ = jax.lax.scan(body, K0, Blr)
-                vs = vs - hyb_lr * K_lr.astype(acc)
+                Blr = C["B_lr"]
+                Blrb = C["B_lr_b"] if "B_lr_b" in C else Blr
+                vs = vs - hyb_lr * _k(Blr, Blrb).astype(acc)
         if has_xc:
             phi = C["phi"]
             po = phi[:, :, oa]
@@ -1064,6 +1131,14 @@ def xsf_sigma_df(data: DFData, SA: int = 3, foo: float = 1.0,
         if remove:
             ooo = jnp.einsum("pq,xp->xq", C["vects"], ooo)
         return jnp.concatenate([ocv, oco, oov, ooo], axis=1)
+
+    if precision is None:
+        _matvec = jax.jit(_matvec_body)
+    else:
+        @jax.jit
+        def _matvec(C, zs):
+            with jax.default_matmul_precision(precision):
+                return _matvec_body(C, zs)
 
     def matvec(zs):
         return _matvec(consts, zs)

@@ -67,6 +67,71 @@ def delta_a_tensors_from_df(B, nc: int, no: int, SA: int, dtype):
     return t
 
 
+def delta_a_tensors_from_df_packed(Bp, f2p, nmo: int, nc: int, no: int,
+                                   SA: int, dtype,
+                                   panel_budget: float = 2.5e8):
+    """The same MO tensors from PACKED-symmetric B (naux, npair).
+
+    Every dA tensor carries at least two open-shell indices, so all
+    gathered panels except VV are small (O has ``no`` columns, C at most
+    ``nc``); they are gathered once at full aux length.  The one
+    VV-panel term (e_VVOC, SA>1) is accumulated over aux chunks so the
+    (naux, nv, nv) panel — multi-GB at 862 AO — never materializes.
+    ``f2p`` is `scf/df_build.pack_indices(nmo)[1]`."""
+    import jax
+
+    C, O, V = slice(0, nc), slice(nc, nc + no), slice(nc + no, None)
+    f2p_m = np.asarray(f2p).reshape(nmo, nmo)
+    naux = int(Bp.shape[0])
+    nv = nmo - nc - no
+
+    def panel(s1, s2):
+        idx = f2p_m[s1, s2]
+        return jnp.take(Bp, jnp.asarray(idx.ravel()), axis=1).reshape(
+            naux, *idx.shape)
+
+    B_OC = panel(O, C)
+    B_VO = panel(V, O)
+
+    def _m2(Bx, By):
+        return jnp.einsum("Ppq,Prs->pqrs", Bx, By).astype(dtype)
+
+    # B is symmetric in its MO pair: B[:, s2, s1] = transpose(B[:, s1, s2])
+    B_CO = jnp.swapaxes(B_OC, 1, 2)
+    B_OV = jnp.swapaxes(B_VO, 1, 2)
+    t = {
+        "e_OCCO": _m2(B_OC, B_CO),
+        "e_VOOV": _m2(B_VO, B_OV),
+    }
+    if SA > 1:
+        B_CC = panel(C, C)
+        t["e_VOCC"] = _m2(B_VO, B_CC)
+        t["e_OCOV"] = _m2(B_OC, B_OV)
+        t["e_OVOC"] = _m2(B_OV, B_OC)
+        del B_CC
+        # e_VVOC: aux-chunked so the VV panel stays (chunk, nv, nv)
+        idx_vv = jnp.asarray(f2p_m[V, V].ravel())
+        target = int(max(1, panel_budget // max(1, nv * nv * 4)))
+        chunk = 1
+        for c in range(min(target, naux), 0, -1):
+            if naux % c == 0:
+                chunk = c
+                break
+        acc = jnp.zeros((nv, nv, no, nc), dtype=dtype)
+        for i in range(naux // chunk):
+            Bc = jax.lax.dynamic_slice_in_dim(Bp, i * chunk, chunk, 0)
+            Bvv = jnp.take(Bc, idx_vv, axis=1).reshape(chunk, nv, nv)
+            Boc = jax.lax.dynamic_slice_in_dim(B_OC, i * chunk, chunk, 0)
+            acc = acc + jnp.einsum("Pab,Pvi->abvi", Bvv, Boc).astype(dtype)
+        t["e_VVOC"] = acc
+    if SA > 2:
+        B_OO = panel(O, O)
+        t["e_VOOC"] = _m2(B_VO, B_OC)
+        t["e_OOOC"] = _m2(B_OO, B_OC)
+        t["e_VOOO"] = _m2(B_VO, B_OO)
+    return t
+
+
 def delta_a_fock_blocks(fock_hf_a, fock_hf_b, nc: int, no: int, dtype):
     """HF-Fock-pair ingredients of dA (`xtddft/XSF_TDA.py:317-341`)."""
     C, O, V = slice(0, nc), slice(nc, nc + no), slice(nc + no, None)

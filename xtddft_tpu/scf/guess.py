@@ -74,6 +74,7 @@ def atomic_density(symbol: str, basis: str, max_cycle: int = 60,
 
     F = h
     D = None
+    converged = False
     for _ in range(max_cycle):
         e_mo, C_ = np.linalg.eigh(X.T @ F @ X)
         C = X @ C_
@@ -82,11 +83,21 @@ def atomic_density(symbol: str, basis: str, max_cycle: int = 60,
         D = D_new if D is None else (1.0 - damp) * D_new + damp * D
         J = np.einsum("pqrs,rs->pq", eri, D)
         K = np.einsum("prqs,rs->pq", eri, D)
-        F_new = h + J - 0.25 * K  # spin-averaged exchange (D is spin-summed)
+        # spin-averaged exchange on the spin-summed D: for Da=Db=D/2 the
+        # per-spin exchange is K(D/2) = 0.5*K(D)
+        F_new = h + J - 0.5 * K
         if np.abs(F_new - F).max() < 1e-8:
             F = F_new
+            converged = True
             break
         F = F_new
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"SAD atomic SCF for {symbol}/{basis} did not reach the 1e-8 "
+            f"Fock-change criterion in {max_cycle} cycles; caching the "
+            "last iterate (guess quality only)", stacklevel=2)
     _ATOM_CACHE[key] = D
     return D
 
