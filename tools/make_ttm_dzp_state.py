@@ -19,12 +19,14 @@ splits the work as:
                              the MXU (`scf/jk_device.py`)
 
 Run:
-  python tools/make_ttm_dzp_state.py a [geometry]  # host integrals -> cache/
-  python tools/make_ttm_dzp_state.py b [geometry]  # chip SCF -> tests/data ckpt
+  python tools/make_ttm_dzp_state.py a [geometry] [basis]  # host ints -> cache/
+  python tools/make_ttm_dzp_state.py b [geometry] [basis]  # chip SCF -> ckpt
 
 ``geometry`` is any radical from `chem/geometries.py` (default
 ``ttm_vacuum``, 598 AO; ``ttm1cz_vacuum`` is the 862-AO TTM-1Cz
-emissive radical of the reference's benchmark sets).
+emissive radical of the reference's benchmark sets; ``mttm2_vacuum`` is
+the TTM-TTM TRIPLET diradical — the S=1 reference for the flagship
+spin-adapted XSF-TDA at production scale).  ``basis`` defaults to dzp.
 """
 
 from __future__ import annotations
@@ -38,14 +40,16 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 ROOT = pathlib.Path(__file__).resolve().parents[1]
 CACHE = ROOT / "cache"
 
-BASIS = "dzp"
 AUX_MODE = "jk"
 XC = "b3lyp"
 GRID_LEVEL = 1
 
 GEOM = sys.argv[2] if len(sys.argv) > 2 else "ttm_vacuum"
-# short tag: ttm_vacuum -> ttm_dzp, ttm1cz_vacuum -> ttm1cz_dzp
-TAG = GEOM.replace("_vacuum", "") + "_dzp"
+BASIS = sys.argv[3] if len(sys.argv) > 3 else "dzp"
+# open-shell multiplicities of the production radicals (N_alpha-N_beta)
+SPIN = {"mttm2_vacuum": 2, "mttm2_toluene": 2}.get(GEOM, 1)
+# short tag: ttm_vacuum/dzp -> ttm_dzp, mttm2_vacuum/6-31g -> mttm2_631g
+TAG = GEOM.replace("_vacuum", "") + "_" + BASIS.replace("-", "")
 CKPT = ROOT / "tests" / "data" / f"{TAG}_ckpt.npz"
 
 
@@ -54,7 +58,7 @@ def build_env():
     from xtddft_tpu.chem import geometries as G
     from xtddft_tpu.scf.env import Env
 
-    mol = Molecule.from_atoms(getattr(G, GEOM), basis=BASIS, spin=1)
+    mol = Molecule.from_atoms(getattr(G, GEOM), basis=BASIS, spin=SPIN)
     return Env(mol, grid_level=GRID_LEVEL, df=True, aux_mode=AUX_MODE)
 
 

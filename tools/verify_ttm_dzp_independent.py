@@ -1,0 +1,186 @@
+"""Independent host-f64 cross-checks of the dzp production goldens.
+
+The r4 goldens certify the chip solve against its OWN f64 refinement
+(a Rayleigh-Ritz in the chip-converged subspace, `run_ttm_dzp_xtda.py`)
+and the device engine's own converged energy — precision statements, not
+method/space statements.  This tool produces the checks that never saw
+the chip solve (VERDICT r4 item 3; independent cross-checking is the
+reference's whole test strategy, `/root/reference/xtddft/TDA.py:24-47`
+``pyscf_tda``, `/root/reference/xtddft/XSF_TDA.py:1292` ``debug_hx``):
+
+(a) ONE-SHOT host-f64 E(D) of the committed checkpoint density, straight
+    from the cached raw j3c + metric eigendecomposition: DF J/K energies
+    as f64 quadratic forms (J: 0.5 t^T M^-1 t with t_P = (P|pq) D_pq;
+    K: sum_L |(w^-1/2 U^T)(P|ij)|^2 over occupied pairs), XC energy by
+    full-f64 quadrature, tr(hD) + Enuc.  Never touches the device
+    engine, the compensated dressing, or the packed storage.
+
+(b) few-root host-f64 Davidson on the f64 twin operator, seeded by
+    KOOPMANS diagonal gaps — never by the chip subspace — asserted
+    against the golden's ``e_refined_ev``.
+
+(c) sTDA on the same checkpoint (semiempirical monopole path: no ERIs,
+    no DF, no chip) — stores D1 for the physical-window cross-check.
+
+Writes tests/data/independent_{tag}.json; `tests/test_production.py`
+gates the golden against it.
+
+Run: python tools/verify_ttm_dzp_independent.py [geometry] [nroots]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+os.environ.setdefault("XTDDFT_PLATFORM", "cpu")  # host f64 throughout
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+CACHE = ROOT / "cache"
+DATA = ROOT / "tests" / "data"
+
+GEOM = sys.argv[1] if len(sys.argv) > 1 else "ttm_vacuum"
+TAG = GEOM.replace("_vacuum", "") + "_dzp"
+NROOTS = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+
+
+def energy_of_density(mf, j3c, w, U):
+    """One-shot host-f64 E(D) from raw cached integrals (path (a))."""
+    import numpy as np
+
+    from xtddft_tpu.xc import interface as xci
+
+    env = mf.env
+    nao = env.nao
+    dm = mf.make_rdm1()
+    da, db = np.asarray(dm[0], float), np.asarray(dm[1], float)
+    dtot = da + db
+    # occupied coefficients (RO: beta occs are the first noccb alpha MOs)
+    ca = mf.mo_coeff[:, mf.mo_occ >= 1].astype(np.float64)
+    nocca = ca.shape[1]
+    noccb = int(np.count_nonzero(mf.mo_occ >= 2))
+
+    naux = j3c.shape[0]
+    t = np.zeros(naux)
+    A = np.empty((naux, nocca, nocca))
+    chunk = 64
+    for i0 in range(0, naux, chunk):
+        blk = np.asarray(j3c[i0:i0 + chunk], dtype=np.float64)
+        t[i0:i0 + blk.shape[0]] = np.einsum("Ppq,pq->P", blk, dtot)
+        T1 = np.tensordot(blk, ca, axes=([2], [0]))       # (P, p, i)
+        A[i0:i0 + blk.shape[0]] = np.tensordot(
+            T1, ca, axes=([1], [0]))                       # (P, i, j)
+    # metric dressing: M^-1 = U diag(1/w) U^T (kept eigenpairs)
+    Ut = (U / np.sqrt(w)[None, :]).T                       # (kept, naux)
+    e_j = 0.5 * float(np.sum((Ut @ t) ** 2))
+    G = np.tensordot(Ut, A, axes=([1], [0]))               # (kept, i, j)
+    e_ka = float(np.sum(G * G))
+    e_kb = float(np.sum(G[:, :noccb, :noccb] ** 2))
+
+    spec = mf.xc
+    hyb = spec.hyb if spec is not None else 1.0
+    if spec is not None and spec.omega != 0.0:
+        raise NotImplementedError("RSH E(D) check not needed for b3lyp")
+    exc = 0.0
+    if spec is not None and spec.components:
+        tau = bool(spec.needs_tau)
+        ra, ga, *ta = xci.cache_rho(env.ao, np.asarray(da), tau=tau)
+        rb, gb, *tb = xci.cache_rho(env.ao, np.asarray(db), tau=tau)
+        rho = (ra, rb, ga, gb) + tuple(ta) + tuple(tb)
+        exc, _, _ = xci.vxc_matrices(spec, env.ao, env.grid_weights, rho)
+        exc = float(exc)
+    h = np.asarray(env.hcore, dtype=np.float64)
+    if mf.mol is not None:
+        enuc = mf.mol.energy_nuc()
+    e1 = float(np.einsum("pq,qp->", h, dtot))
+    e2 = e_j - 0.5 * hyb * (e_ka + e_kb) + exc
+    return e1 + e2 + enuc, {"e1": e1, "e_j": e_j, "e_k": e_ka + e_kb,
+                            "exc": exc, "enuc": float(enuc)}
+
+
+def main():
+    import numpy as np
+
+    from xtddft_tpu import units
+    from xtddft_tpu.response.production import build_production_state
+    from xtddft_tpu.response.reference_state import make_reference
+    from xtddft_tpu.response.sigma_df import xtda_sigma_df
+    from xtddft_tpu.scf.checkpoint import load_mf
+    from xtddft_tpu.solver.davidson import davidson
+
+    golden = json.loads((DATA / f"golden_{TAG}.json").read_text())
+    mf = load_mf(str(DATA / f"{TAG}_ckpt.npz"))
+    env = mf.env
+    j3c = np.load(CACHE / f"{TAG}_j3c.npy", mmap_mode="r")
+    w = np.load(CACHE / f"{TAG}_metric_w.npy")
+    U = np.load(CACHE / f"{TAG}_metric_U.npy")
+    env.set_df_j3c(j3c)
+    env._df_meig_cache = {0.0: (w, U)}
+
+    # ---- (a) one-shot host-f64 E(D) -----------------------------------
+    t0 = time.time()
+    e_host, parts = energy_of_density(mf, j3c, w, U)
+    de_scf = abs(e_host - float(mf.e_tot))
+    print(f"(a) host-f64 E(D) = {e_host:.8f}  ckpt e_scf = "
+          f"{mf.e_tot:.8f}  |dE| = {de_scf:.2e} Ha  "
+          f"({time.time()-t0:.0f}s)", flush=True)
+
+    # ---- (b) Koopmans-seeded host-f64 Davidson ------------------------
+    t0 = time.time()
+    fhf = np.load(CACHE / f"{TAG}_fockhf.npy")
+    ref = make_reference(mf, fock_hf_mo=(fhf[0], fhf[1]))
+    _, data64 = build_production_state(ref, cache=CACHE, tag=TAG,
+                                       want_f64=True)
+    op64 = xtda_sigma_df(data64)
+    print(f"f64 twin operator: {time.time()-t0:.0f}s", flush=True)
+    t0 = time.time()
+    e64, v64, conv = davidson(
+        op64.matvec, op64.hdiag, nroots=NROOTS,
+        init_guess=op64.init_guess(NROOTS), tol=1e-6, pick_positive=True)
+    e64_ev = np.asarray(e64) * units.HA2EV
+    e_gold = np.asarray(golden["e_refined_ev"])[:NROOTS]
+    dev_ev = float(np.abs(e64_ev - e_gold).max())
+    print(f"(b) independent f64 Davidson ({time.time()-t0:.0f}s, "
+          f"nconv={int(np.sum(conv))}/{NROOTS}):", flush=True)
+    print("    e64 =", np.round(e64_ev, 6), flush=True)
+    print(f"    max|dev| vs golden e_refined_ev = {dev_ev*1000:.4f} meV",
+          flush=True)
+
+    # ---- (c) sTDA (ERI-free semiempirical path) -----------------------
+    t0 = time.time()
+    from xtddft_tpu.stda import STDA
+
+    rs = STDA(mf, Emax=6.0).kernel()
+    stda_e1 = float(np.asarray(rs.e_eV)[0])
+    print(f"(c) sTDA D1 = {stda_e1:.4f} eV (golden D1 = "
+          f"{e_gold[0]:.4f} eV)  ({time.time()-t0:.0f}s)", flush=True)
+
+    out = {
+        "tag": TAG,
+        "molecule": GEOM,
+        "nroots": NROOTS,
+        "e_scf_ckpt": float(mf.e_tot),
+        "e_scf_host_f64": float(e_host),
+        "delta_e_scf_ha": float(de_scf),
+        "energy_parts": parts,
+        "dav_e_ev": e64_ev.tolist(),
+        "dav_nconv": int(np.sum(conv)),
+        "golden_e_refined_ev": e_gold.tolist(),
+        "max_dev_vs_golden_ev": dev_ev,
+        "stda_e1_ev": stda_e1,
+        "path": ("raw cached j3c + metric -> host-f64 quadratic-form "
+                 "E(D); Koopmans-seeded host-f64 Davidson on the f64 "
+                 "twin; ERI-free sTDA"),
+    }
+    p = DATA / f"independent_{TAG}.json"
+    p.write_text(json.dumps(out, indent=1))
+    print("wrote", p, flush=True)
+
+
+if __name__ == "__main__":
+    main()
