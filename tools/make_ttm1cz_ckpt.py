@@ -7,7 +7,11 @@ one-time metric dressing is hours on this 1-core host, while the chip
 engine streams it in seconds — so unlike TTM/sto-3g this one runs on
 the device.
 
-Run:  python tools/make_ttm1cz_ckpt.py
+Run:  python tools/make_ttm1cz_ckpt.py [geometry]
+
+``geometry`` defaults to ttm1cz_vacuum; ``mttm2_vacuum`` (the TTM-TTM
+TRIPLET diradical, 380 AO at STO-3G — the S=1 reference for the
+production spin-adapted XSF-TDA) is handled with spin=2.
 """
 
 import pathlib
@@ -50,8 +54,11 @@ def main():
     from xtddft_tpu.scf import ROKS
     from xtddft_tpu.scf.checkpoint import save_mf
 
+    geom = sys.argv[1] if len(sys.argv) > 1 else "ttm1cz_vacuum"
+    spin = {"mttm2_vacuum": 2, "mttm2_toluene": 2}.get(geom, 1)
+    short = geom.replace("_vacuum", "")
     data_dir = pathlib.Path(__file__).resolve().parents[1] / "tests" / "data"
-    mol = Molecule.from_atoms(G.ttm1cz_vacuum, basis="sto-3g", spin=1)
+    mol = Molecule.from_atoms(getattr(G, geom), basis="sto-3g", spin=spin)
     t0 = time.time()
     scf = ROKS(mol, xc="b3lyp", grid_level=1, df=True, engine="device")
     # SAD natural-orbital init: the GWH guess locks into a period-2
@@ -67,8 +74,8 @@ def main():
     print(f"device DF-SCF: E = {mf.e_tot:.10f} converged={mf.converged} "
           f"({time.time()-t0:.0f}s)", flush=True)
     assert mf.converged
-    save_mf(mf, str(data_dir / "ttm1cz_ckpt.npz"))
-    print("wrote", data_dir / "ttm1cz_ckpt.npz", flush=True)
+    save_mf(mf, str(data_dir / f"{short}_ckpt.npz"))
+    print("wrote", data_dir / f"{short}_ckpt.npz", flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,97 @@
+"""SOC state-interaction capstone on the TTM radical (182 AO, STO-3G).
+
+VERDICT r4 item 6: compose the production paths the way the reference's
+`x2c_hamiltonian/test_SOCSI.py:35-128` does, but on a REAL production
+chromophore instead of a single atom.  TTM is a doublet (S=1/2), so the
+manifolds are GS + |S0> (X-TDA doublets) + |S+> (SF-up quartets) — there
+is no S-1 manifold below a doublet; the SI layer's S=1/2 case table and
+the SF-up DF feed are exactly what this exercises (the As golden runs
+S=3/2).  Vso comes from the sfx2c + soDKH1 SOMF builder with the
+one-center 2e approximation — chlorine SOC is the physics behind TTM's
+intersystem crossing.
+
+Steps: sfx2c-ROKS/B3LYP SCF (host f64, DF, seeded from the committed
+non-relativistic checkpoint) -> X-TDA + SF-up states (DF backends) ->
+Vso -> SI.  Stores tests/data/golden_ttm_socsi.json.
+
+Run:  XTDDFT_PLATFORM=cpu python tools/run_ttm_socsi.py [nstates]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+os.environ.setdefault("XTDDFT_PLATFORM", "cpu")
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+DATA = ROOT / "tests" / "data"
+NSTATES = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+
+
+def main():
+    import numpy as np
+
+    from xtddft_tpu import units
+    from xtddft_tpu.chem import Molecule
+    from xtddft_tpu.chem import geometries as G
+    from xtddft_tpu.scf import ROKS
+    from xtddft_tpu.scf.checkpoint import load_mf, save_mf
+    from xtddft_tpu.soc.pipeline import run_soc_si
+
+    ck_x2c = DATA / "ttm_x2c_ckpt.npz"
+    t0 = time.time()
+    if ck_x2c.exists():
+        mf = load_mf(str(ck_x2c), df=True)
+        print(f"x2c ckpt: E = {mf.e_tot:.8f}", flush=True)
+    else:
+        mol = Molecule.from_atoms(G.ttm_vacuum, basis="sto-3g", spin=1)
+        scf = ROKS(mol, xc="b3lyp", grid_level=1, df=True, x2c=True)
+        # seed with the committed non-relativistic solution: sfx2c shifts
+        # the core levels but the valence basin is the same
+        init = None
+        nr = DATA / "ttm_ckpt.npz"
+        if nr.exists():
+            init = np.asarray(load_mf(str(nr)).mo_coeff)
+        mf = scf.kernel(init=init)
+        print(f"sfx2c-ROKS: E = {mf.e_tot:.8f} converged={mf.converged} "
+              f"({time.time()-t0:.0f}s)", flush=True)
+        assert mf.converged
+        save_mf(mf, str(ck_x2c))
+
+    t0 = time.time()
+    si = run_soc_si(mf, nstates=NSTATES, sf_method=2, cal_osc=True)
+    t_si = time.time() - t0
+    e_cm = (si.result.eso - si.result.eso[0]) * units.HA2EV * units.EV2CM_1
+    print(si.summary(printnum=24), flush=True)
+    print(f"SOC-SI wall: {t_si:.0f}s", flush=True)
+
+    osc = None
+    if si.result.dmso is not None:
+        # SOC-state oscillator strengths from the lowest SOC state
+        nmax = min(24, si.result.eso.size)
+        osc = [float(si.osc_strength(0, j)) for j in range(1, nmax)]
+    out = {
+        "molecule": "ttm_vacuum",
+        "basis": "sto-3g",
+        "reference": "sfx2c-ROKS/b3lyp",
+        "nstates": NSTATES,
+        "manifolds": sorted(si.states.keys()) if hasattr(si, "states") else None,
+        "e_scf": float(mf.e_tot),
+        "nao": int(mf.env.nao),
+        "eso_cm": [float(x) for x in e_cm[:24]],
+        "osc": osc,
+        "t_si_s": round(t_si, 1),
+    }
+    p = DATA / "golden_ttm_socsi.json"
+    p.write_text(json.dumps(out, indent=1))
+    print("wrote", p, flush=True)
+
+
+if __name__ == "__main__":
+    main()

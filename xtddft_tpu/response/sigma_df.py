@@ -77,12 +77,20 @@ class DFData:
         return self.fock_mo.shape[-1]
 
 
-def _aux_chunk(naux, nz, nocc, nvir, budget=1.5e8, unpack_cols=0):
+def _aux_chunk(naux, nz, nocc, nvir, budget=None, unpack_cols=0):
     """Largest divisor of naux keeping the K chunk intermediate
     (nz*chunk*nocc*nvir elements) under budget; with packed B the
     chunk's unpacked/gathered (chunk, unpack_cols) buffer is capped at
     ~256 MB (the packed builder zero-pads naux to a multiple of 256, so
-    power-of-2-ish divisors exist)."""
+    power-of-2-ish divisors exist).
+
+    budget defaults to 1.5e8 elements, overridable via
+    XTDDFT_AUX_BUDGET (elements) — the profiling knob for the
+    HBM-residency / loop-overhead trade at production sizes."""
+    if budget is None:
+        import os
+
+        budget = float(os.environ.get("XTDDFT_AUX_BUDGET", 1.5e8))
     target = int(max(1, budget // max(1, nz * nocc * nvir)))
     if unpack_cols:
         target = min(target, max(1, int(6.4e7 // unpack_cols)))
