@@ -204,6 +204,43 @@ def test_spmd_real_molecule_davidson_parity(fh_roks):
     assert np.abs(e - e1).max() < 1e-6
 
 
+def test_spmd_flip_sigma_parity(fh_roks):
+    """FLIP sigmas on the 8-device mesh == single-device: the flagship
+    XSF-TDA and SF-up operators with spmd=True run one full-aux einsum
+    over the tp-sharded B (GSPMD psum over ICI) and must reproduce the
+    chunk-looped single-chip matvec."""
+    import jax
+    import jax.numpy as jnp
+
+    from xtddft_tpu.parallel.mesh import make_mesh, shard_df_data
+    from xtddft_tpu.response import make_reference as mkref
+    from xtddft_tpu.response.sigma_df import sf_sigma_df, xsf_sigma_df
+
+    if len(jax.devices()) < 8:
+        from tests.conftest import rerun_in_virtual_mesh
+
+        rerun_in_virtual_mesh(
+            "tests/test_df.py::test_spmd_flip_sigma_parity")
+        return
+    ref = mkref(fh_roks)
+    data = build_df_data(ref)
+    mesh = make_mesh(8)
+    data_s = shard_df_data(data, mesh)
+    rng = np.random.default_rng(11)
+    op0 = xsf_sigma_df(data, SA=3, fglobal=0.65)
+    ops = xsf_sigma_df(data_s, SA=3, fglobal=0.65, spmd=True)
+    z = rng.normal(size=(4, op0.dim)).astype(np.float64)
+    y0 = np.asarray(op0.matvec(jnp.asarray(z)))
+    y1 = np.asarray(ops.matvec(jnp.asarray(z)))
+    assert np.abs(y1 - y0).max() < 1e-10 * max(1.0, np.abs(y0).max())
+    opu0 = sf_sigma_df(data, extype="up")
+    opus = sf_sigma_df(data_s, extype="up", spmd=True)
+    zu = rng.normal(size=(4, opu0.dim)).astype(np.float64)
+    yu0 = np.asarray(opu0.matvec(jnp.asarray(zu)))
+    yu1 = np.asarray(opus.matvec(jnp.asarray(zu)))
+    assert np.abs(yu1 - yu0).max() < 1e-10 * max(1.0, np.abs(yu0).max())
+
+
 def test_jk_aux_mode_quality():
     """The lean 'jk' production aux recipe (`ints/autoaux.py autoaux_shells
     mode='jk'`) stays sub-2-meV vs the in-core reference on the production

@@ -675,7 +675,8 @@ def xtda_sigma_df(data: DFData, spin_adapt: bool = True,
 
 
 def sf_sigma_df(data: DFData, extype: str = "up", method: int = 0,
-                dtype=None, precision: str | None = None) -> SigmaOperator:
+                dtype=None, precision: str | None = None,
+                spmd: bool = False) -> SigmaOperator:
     """Density-fitted plain SF-TDA sigma (flip-up AND flip-down).
 
     The reference's accelerated SF class covers both extypes
@@ -725,6 +726,10 @@ def sf_sigma_df(data: DFData, extype: str = "up", method: int = 0,
         raise NotImplementedError(
             "packed B covers R/RO non-RSH references (the 862-AO "
             "production target); use the dense layout otherwise")
+    if packed and spmd:
+        raise NotImplementedError(
+            "packed B: single-chip sigma only (multi-chip shards the "
+            "dense layout, where per-device memory is already 1/N)")
     dim = n_o * n_v
     if dtype is None:
         dtype = data.B.dtype
@@ -805,8 +810,11 @@ def sf_sigma_df(data: DFData, extype: str = "up", method: int = 0,
         naux = Bref.shape[0]
         # aux-chunked exchange (same budget rule as xsf_sigma_df); with
         # packed B the per-chunk gathered panels (chunk*(n_o^2+n_v^2))
-        # are capped too
-        chunk = _aux_chunk(
+        # are capped too.  spmd: one full-aux einsum over the sharded
+        # tensors — GSPMD inserts the psum over the mesh's tp axis, and
+        # the per-chip shard provides the memory relief the chunk loop
+        # gives on one chip.
+        chunk = naux if spmd else _aux_chunk(
             naux, nz, n_o, n_v,
             unpack_cols=(n_o * n_o + n_v * n_v) if packed else 0)
 
@@ -909,7 +917,8 @@ def sf_sigma_df(data: DFData, extype: str = "up", method: int = 0,
 def xsf_sigma_df(data: DFData, SA: int = 3, foo: float = 1.0,
                  fglobal: float = 1.0, method: int = 0,
                  remove: bool = True, dtype=None,
-                 precision: str | None = None) -> SigmaOperator:
+                 precision: str | None = None,
+                 spmd: bool = False) -> SigmaOperator:
     """Density-fitted XSF-TDA sigma (the flagship method at production
     scale): SF exchange from the fitted B tensor, ALDA0 or multicollinear
     kernel through the MO-grid factorization, and the spin-adapted dA with
@@ -955,6 +964,10 @@ def xsf_sigma_df(data: DFData, SA: int = 3, foo: float = 1.0,
         raise NotImplementedError(
             "packed B covers R/RO non-RSH references (the 862-AO "
             "production target); use the dense layout otherwise")
+    if packed and spmd:
+        raise NotImplementedError(
+            "packed B: single-chip sigma only (multi-chip shards the "
+            "dense layout, where per-device memory is already 1/N)")
 
     consts = {
         "B": data.B,
@@ -1045,7 +1058,7 @@ def xsf_sigma_df(data: DFData, SA: int = 3, foo: float = 1.0,
         # chunk
         zb = z.astype(B.dtype)
         naux = B.shape[0]
-        chunk = _aux_chunk(
+        chunk = naux if spmd else _aux_chunk(
             naux, nz, n_o, n_v,
             unpack_cols=(n_o * n_o + n_v * n_v) if packed else 0)
         K0 = jnp.zeros((nz, n_o, n_v), dtype=B.dtype)
