@@ -81,7 +81,13 @@ def main():
     from xtddft_tpu.scf.checkpoint import load_mf
     from xtddft_tpu.solver.davidson_jit import davidson_fulljit
 
-    mf = load_mf(str(DATA / f"{TAG}_ckpt.npz"))
+    ck = DATA / f"{TAG}_ckpt.npz"
+    if not ck.exists() and BASIS == "sto-3g":
+        # the STO-3G seed checkpoints are stored without a basis suffix
+        # (make_ttm1cz_ckpt.py) — for STO-3G production runs the seed IS
+        # the reference state
+        ck = DATA / f"{GEOM.replace('_vacuum', '')}_ckpt.npz"
+    mf = load_mf(str(ck))
     env = mf.env
     env.set_df_j3c(np.load(CACHE / f"{TAG}_j3c.npy", mmap_mode="r"))
     w = np.load(CACHE / f"{TAG}_metric_w.npy")

@@ -138,8 +138,17 @@ def build_production_state(ref, cache: str | pathlib.Path | None = None,
                 Bhi, Blo = build_bmo_device(
                     meig, j3c, mo_t, aux_chunk=aux_chunk)
             Bhi_np = np.asarray(Bhi)  # d2h once, for the f64 twin + cache
-            # bf16 has no npy dtype: persist the packed lo as f32
-            Blo_np = np.asarray(Blo, dtype=np.float32)
+            # bf16 has no npy dtype: persist the packed lo as f32.
+            # CHUNKED d2h: a whole-array np.asarray(Blo, f32) first
+            # materializes a full-size f32 copy on the device — on the
+            # post-dressing fragmented arena that (2x the lo bytes in
+            # one contiguous block) was the r5 RESOURCE_EXHAUSTED at
+            # 598 AO; per-row-chunk casts keep the transient tiny
+            Blo_np = np.empty(Blo.shape, np.float32)
+            rows = max(1, int(6.4e7 // max(1, int(np.prod(Blo.shape[1:])))))
+            for i0 in range(0, Blo.shape[0], rows):
+                Blo_np[i0:i0 + rows] = np.asarray(
+                    Blo[i0:i0 + rows].astype(jnp.float32))
             if bhi_p is not None:
                 np.save(bhi_p, Bhi_np)
                 np.save(blo_p, Blo_np)
