@@ -148,10 +148,19 @@ def _xc_fast(phi, w, Ca, Cb, prec, spec_key):
 
 
 @functools.partial(jax.jit, static_argnames=("prec", "hyb", "aux_chunk"))
-def _jk_fast_packed(Bp, f2p, fpk, dupl, Ca, Cb, prec, hyb, aux_chunk=512):
-    """Packed-B analog of `_jk_fast` (no RSH leg: packed mode guards it)."""
+def _jk_fast_packed(Bp, f2p, fpk, dupl, Ca, Cb, prec, hyb, aux_chunk=None):
+    """Packed-B analog of `_jk_fast` (no RSH leg: packed mode guards it).
+
+    aux_chunk sizes the per-chunk UNPACK buffer (chunk, nao, nao): at
+    862 AO a 512-row chunk is 1.5 GB, and with the loop body holding a
+    separate unpacked copy per spin plus XLA double-buffering the graph
+    wanted 19.1 GB on a 15.75 GB chip (r5 phase-b compile OOM) — so the
+    default is size-aware (~256 MB unpack) and the two spins share ONE
+    unpacked chunk."""
     naux = Bp.shape[0]
     nao = Ca.shape[0]
+    if aux_chunk is None:
+        aux_chunk = max(32, min(512, int(6.4e7 // max(1, nao * nao))))
     with jax.default_matmul_precision(prec):
         Da = Ca @ Ca.T
         Db = Cb @ Cb.T
@@ -164,10 +173,12 @@ def _jk_fast_packed(Bp, f2p, fpk, dupl, Ca, Cb, prec, hyb, aux_chunk=512):
         Jp = t @ Bp
         J = jnp.take(Jp, f2p).reshape(nao, nao)
 
-        def kchunk(Bc, C):
+        def kchunk2(Bc):
             Bf = jnp.take(Bc, f2p, axis=1).reshape(Bc.shape[0], nao, nao)
-            T = jnp.einsum("Pmn,ni->Pmi", Bf, C)
-            return jnp.einsum("Pmi,Pni->mn", T, T)
+            Ta = jnp.einsum("Pmn,ni->Pmi", Bf, Ca)
+            Tb = jnp.einsum("Pmn,ni->Pmi", Bf, Cb)
+            return (jnp.einsum("Pmi,Pni->mn", Ta, Ta),
+                    jnp.einsum("Pmi,Pni->mn", Tb, Tb))
 
         z = jnp.zeros((nao, nao), jnp.float32)
         Ka = Kb = z
@@ -176,15 +187,17 @@ def _jk_fast_packed(Bp, f2p, fpk, dupl, Ca, Cb, prec, hyb, aux_chunk=512):
                 ka, kb = accs
                 Bc = jax.lax.dynamic_slice_in_dim(
                     Bp, i * aux_chunk, aux_chunk, 0)
-                return ka + kchunk(Bc, Ca), kb + kchunk(Bc, Cb)
+                da, db = kchunk2(Bc)
+                return ka + da, kb + db
 
             nc = naux // aux_chunk
             if nc:
                 Ka, Kb = jax.lax.fori_loop(0, nc, body, (z, z))
             if naux - nc * aux_chunk:
                 Bc = jax.lax.slice_in_dim(Bp, nc * aux_chunk, naux, axis=0)
-                Ka = Ka + kchunk(Bc, Ca)
-                Kb = Kb + kchunk(Bc, Cb)
+                da, db = kchunk2(Bc)
+                Ka = Ka + da
+                Kb = Kb + db
         ej = 0.5 * jnp.einsum("mn,nm->", D, J)
         Ka = hyb * Ka
         Kb = hyb * Kb
@@ -492,6 +505,13 @@ class DeviceVeff:
                     "packed-B device engine has no long-range (RSH) leg; "
                     "use b_storage='full' (needs the HBM) or the host "
                     "engine")
+            # size-aware chunking: the packed J/K loops unpack a
+            # (chunk, nao, nao) buffer per iteration — cap it at
+            # ~256 MB so the compiled loop fits next to the resident
+            # packed B at 862 AO (r5: chunk=256/512 graphs wanted
+            # 19.1 GB on a 15.75 GB chip)
+            self.aux_chunk = min(self.aux_chunk,
+                                 max(32, int(6.4e7 // (env.nao * env.nao))))
             self.Bhi, self.Blo = build_b_device(
                 env.df_metric_eig_host(0.0), env.df_j3c_host(0.0),
                 packed=True)
@@ -538,7 +558,7 @@ class DeviceVeff:
         if self.b_storage == "packed":
             va, vb, ej, eka, ekb = _jk_fast_packed(
                 self.Bhi, self._f2p, self._fpk, self._dupl, Ca32, Cb32,
-                prec, self.hyb)
+                prec, self.hyb, aux_chunk=self.aux_chunk)
         else:
             va, vb, ej, eka, ekb = _jk_fast(
                 self.Bhi, Ca32, Cb32, prec, self.hyb, self.hyb_lr, self.Blr)
