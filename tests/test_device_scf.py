@@ -79,7 +79,10 @@ def test_device_scf_packed_b_matches_host(oh_pair):
     assert out.converged
     assert mf._dev.b_storage == "packed"
     nao = mf.env.nao
-    assert mf._dev.Bhi.shape == (mf.env.aux_layout.nao, nao * (nao + 1) // 2)
+    # pair-MAJOR storage (npair, naux): the layout the unpack gathers
+    # read in place — aux-major forced an 8.16 GB whole-tensor relayout
+    # copy inside _jk_fast_packed at 862 AO (r5 phase-b compile OOM)
+    assert mf._dev.Bhi.shape == (nao * (nao + 1) // 2, mf.env.aux_layout.nao)
     assert abs(out.e_tot - host.e_tot) < 3e-6
     assert np.abs(out.mo_energy - host.mo_energy).max() < 5e-6
 

@@ -194,4 +194,18 @@ def phase_b():
 
 
 if __name__ == "__main__":
-    {"a": phase_a, "b": phase_b}[sys.argv[1]]()
+    try:
+        {"a": phase_a, "b": phase_b}[sys.argv[1]]()
+    except Exception as exc:  # noqa: BLE001
+        if "RESOURCE_EXHAUSTED" in str(exc):
+            # nondeterministic staging-arena fragmentation on the
+            # tunneled chip: a fresh process gets a fresh arena and the
+            # disk caches make the restart cheap (same contract as
+            # run_ttm_dzp_xtda.py) — rc=7 for the retry wrapper
+            import os
+            import traceback
+
+            traceback.print_exc()
+            print("HBM arena exhausted; exiting for retry", flush=True)
+            os._exit(7)
+        raise

@@ -181,6 +181,21 @@ def _dress_block_hi(Bhi, uh, ul, sh, sl, bh, bl, cs, off, nnull=0,
     return jax.lax.dynamic_update_slice_in_dim(Bhi, ph, off, 1)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("nnull", "tile"))
+def _dress_block_hi_t(Bpt, uh, ul, sh, sl, bh, bl, cs, off, nnull=0,
+                      tile=512):
+    """Pair-MAJOR variant of `_dress_block_hi`: the dressed (naux, width)
+    column block is written TRANSPOSED into rows [off, off+width) of the
+    (npair, naux) buffer.  Pair-major is the packed storage convention
+    (see `_build_b_device_packed`): it is the physical layout the packed
+    J/K unpack gathers want, so the consumer jits read the tensor in
+    place instead of relayout-copying all of it (an 8.2 GB HLO `copy`
+    at 862 AO — the r5 phase-b compile OOM)."""
+    ph, _ = _dress(uh, ul, sh, sl, bh, bl, cs=cs, nnull=nnull, tile=tile)
+    return jax.lax.dynamic_update_slice_in_dim(Bpt, ph.T, off, 0)
+
+
 def pack_indices(nao: int):
     """Index arrays for packed-symmetric (lower-triangle) pair storage.
 
@@ -221,11 +236,13 @@ def build_b_device(metric_eig, j3c: np.ndarray,
                 because 2*naux*nao^2 floats do not fit a 16 GB chip
                 (TTM/dzp: 11.4 GB) while the Fock target is ~1e-7.
     packed:     store only the lower triangle of the symmetric (m, n)
-                pair axis: (naux, nao*(nao+1)/2), exact f32, HALF the
-                HBM again — the representation that puts TTM-1Cz/dzp
-                (862 AO, 17.3 GB full f32) on a 16 GB v5e.  Implies
-                keep_lo=False; consumers unpack per aux chunk with
-                `pack_indices` (`scf/jk_device.py` packed J/K paths).
+                pair axis, pair-MAJOR: (nao*(nao+1)/2, naux), exact f32,
+                HALF the HBM again — the representation that puts
+                TTM-1Cz/dzp (862 AO, 17.3 GB full f32) on a 16 GB v5e.
+                Implies keep_lo=False; consumers unpack per aux chunk
+                with `pack_indices` (`scf/jk_device.py` packed J/K
+                paths).  Pair-major so those unpack gathers read the
+                stored layout directly (see `_build_b_device_packed`).
     """
     w, U = metric_eig
     naux, nao = j3c.shape[0], j3c.shape[1]
@@ -264,15 +281,22 @@ def _build_b_device_packed(j2, uh, ul, sh, sl, nnull, col_chunk, tile):
     sequential pass over the j3c mmap — same IO as the full build),
     gathers the lower-triangle columns inside each chunk on the host,
     pads the packed width to a power-of-2 bucket (bounds the number of
-    compiled `_dress_block_hi` shapes), and writes blocks in ascending
+    compiled `_dress_block_hi_t` shapes), and writes blocks in ascending
     packed offset so each block's zero padding is overwritten by its
     successor.  Only the pair columns are dressed — the packed build
-    also HALVES the dressing flops."""
+    also HALVES the dressing flops.
+
+    Returns the tensor pair-MAJOR, (npair, naux): in default row-major
+    layout that makes the per-aux-chunk pair gathers of the packed J/K
+    consumers contiguous, which is exactly the layout XLA's layout
+    assignment wants for them.  Stored aux-major, XLA inserted a
+    whole-tensor relayout `copy` inside `_jk_fast_packed` — live Bp +
+    copy = 2x8.16 GB at 862 AO, the r5 phase-b compile OOM."""
     naux = j2.shape[0]
     nao = int(round(np.sqrt(j2.shape[1])))
     flat_pack, _, _ = pack_indices(nao)
     npair = flat_pack.size
-    Bp = jnp.zeros((naux, npair), jnp.float32)
+    Bp = jnp.zeros((npair, naux), jnp.float32)
     out_off = 0
     for off in range(0, nao * nao, col_chunk):
         hi = min(off + col_chunk, nao * nao)
@@ -294,9 +318,9 @@ def _build_b_device_packed(j2, uh, ul, sh, sl, nnull, col_chunk, tile):
                 [blk, np.zeros((naux, bw - width), blk.dtype)], axis=1)
         cs = _pow2_colscale(blk)
         bh, bl = _split_dev(blk / cs[None, :])
-        Bp = _dress_block_hi(Bp, uh, ul, sh, sl, bh, bl,
-                             jnp.asarray(cs, dtype=jnp.float32),
-                             jnp.int32(out_off), nnull=nnull, tile=tile)
+        Bp = _dress_block_hi_t(Bp, uh, ul, sh, sl, bh, bl,
+                               jnp.asarray(cs, dtype=jnp.float32),
+                               jnp.int32(out_off), nnull=nnull, tile=tile)
         jax.block_until_ready(Bp)  # bound in-flight h2d (see above)
         _free(bh, bl)
         out_off += width

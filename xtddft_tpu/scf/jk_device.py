@@ -140,24 +140,29 @@ def _xc_fast(phi, w, Ca, Cb, prec, spec_key):
 
 
 # ------------------------------------------------------- packed-symmetric path
-# B stored as the lower triangle of its symmetric (m, n) pair axis:
-# (naux, nao*(nao+1)/2) — exact f32 at HALF the HBM, the storage that fits
-# TTM-1Cz/dzp (862 AO, 17.3 GB full f32) on a 16 GB v5e.  Chunks of the
-# aux axis are unpacked on the fly with a gather (`df_build.pack_indices`);
-# J never unpacks at all (packed contraction with multiplicity weights).
+# B stored as the lower triangle of its symmetric (m, n) pair axis,
+# pair-MAJOR: (nao*(nao+1)/2, naux) — exact f32 at HALF the HBM, the
+# storage that fits TTM-1Cz/dzp (862 AO, 17.3 GB full f32) on a 16 GB
+# v5e.  Chunks of the aux axis are unpacked on the fly with a gather
+# (`df_build.pack_indices`); J never unpacks at all (packed contraction
+# with multiplicity weights).  Pair-major is the physical layout those
+# gathers want: stored aux-major, XLA layout assignment relayout-copied
+# the ENTIRE tensor at the jit boundary (8.16 GB `copy(Bp)` next to the
+# 8.16 GB argument = the r5 862-AO phase-b compile OOM).
 
 
 @functools.partial(jax.jit, static_argnames=("prec", "hyb", "aux_chunk"))
 def _jk_fast_packed(Bp, f2p, fpk, dupl, Ca, Cb, prec, hyb, aux_chunk=None):
     """Packed-B analog of `_jk_fast` (no RSH leg: packed mode guards it).
 
-    aux_chunk sizes the per-chunk UNPACK buffer (chunk, nao, nao): at
-    862 AO a 512-row chunk is 1.5 GB, and with the loop body holding a
-    separate unpacked copy per spin plus XLA double-buffering the graph
-    wanted 19.1 GB on a 15.75 GB chip (r5 phase-b compile OOM) — so the
-    default is size-aware (~256 MB unpack) and the two spins share ONE
-    unpacked chunk."""
-    naux = Bp.shape[0]
+    Bp is pair-major, (npair, naux).  aux_chunk sizes the per-chunk
+    UNPACK buffer (nao, nao, chunk): at 862 AO a 512-row chunk is
+    1.5 GB, and with the loop body holding a separate unpacked copy per
+    spin plus XLA double-buffering the graph wanted 19.1 GB on a
+    15.75 GB chip (r5 phase-b compile OOM) — so the default is
+    size-aware (~256 MB unpack) and the two spins share ONE unpacked
+    chunk."""
+    naux = Bp.shape[1]
     nao = Ca.shape[0]
     if aux_chunk is None:
         aux_chunk = max(32, min(512, int(6.4e7 // max(1, nao * nao))))
@@ -169,14 +174,17 @@ def _jk_fast_packed(Bp, f2p, fpk, dupl, Ca, Cb, prec, hyb, aux_chunk=None):
         # exact symmetric double sum; the back-contraction lands on the
         # packed J, unpacked by one gather
         Dp = jnp.take(D.reshape(-1), fpk) * dupl
-        t = Bp @ Dp
-        Jp = t @ Bp
+        t = Dp @ Bp
+        Jp = Bp @ t
         J = jnp.take(Jp, f2p).reshape(nao, nao)
 
         def kchunk2(Bc):
-            Bf = jnp.take(Bc, f2p, axis=1).reshape(Bc.shape[0], nao, nao)
-            Ta = jnp.einsum("Pmn,ni->Pmi", Bf, Ca)
-            Tb = jnp.einsum("Pmn,ni->Pmi", Bf, Cb)
+            # Bc (npair, ch) pair-major: the unpack gather reads rows of
+            # the stored layout (each pair's aux values are contiguous)
+            ch = Bc.shape[1]
+            Bf = jnp.take(Bc, f2p, axis=0).reshape(nao, nao, ch)
+            Ta = jnp.einsum("mnP,ni->Pmi", Bf, Ca)
+            Tb = jnp.einsum("mnP,ni->Pmi", Bf, Cb)
             return (jnp.einsum("Pmi,Pni->mn", Ta, Ta),
                     jnp.einsum("Pmi,Pni->mn", Tb, Tb))
 
@@ -186,7 +194,7 @@ def _jk_fast_packed(Bp, f2p, fpk, dupl, Ca, Cb, prec, hyb, aux_chunk=None):
             def body(i, accs):
                 ka, kb = accs
                 Bc = jax.lax.dynamic_slice_in_dim(
-                    Bp, i * aux_chunk, aux_chunk, 0)
+                    Bp, i * aux_chunk, aux_chunk, 1)
                 da, db = kchunk2(Bc)
                 return ka + da, kb + db
 
@@ -194,7 +202,7 @@ def _jk_fast_packed(Bp, f2p, fpk, dupl, Ca, Cb, prec, hyb, aux_chunk=None):
             if nc:
                 Ka, Kb = jax.lax.fori_loop(0, nc, body, (z, z))
             if naux - nc * aux_chunk:
-                Bc = jax.lax.slice_in_dim(Bp, nc * aux_chunk, naux, axis=0)
+                Bc = jax.lax.slice_in_dim(Bp, nc * aux_chunk, naux, axis=1)
                 da, db = kchunk2(Bc)
                 Ka = Ka + da
                 Kb = Kb + db
@@ -227,8 +235,11 @@ def _jk_refined_packed(Bp, f2p, fpk, dupl, Cahi, Calo, Cbhi, Cblo,
     """Compensated J / occupied-K from packed-symmetric B (hi only —
     packed mode exists for sizes where even the f32 hi is tight, so the
     result carries B's f32 representation error ~6e-8, exactly like the
-    dense keep_lo=False regime)."""
-    naux, npair = Bp.shape
+    dense keep_lo=False regime).  Bp is pair-major, (npair, naux): aux
+    chunks are column slices, transposed per chunk (a bounded ~250 MB
+    relayout) — the whole-tensor relayout this avoids was the r5 862-AO
+    compile OOM (see `_jk_fast_packed`)."""
+    npair, naux = Bp.shape
     nao = Cahi.shape[0]
 
     def dm(Chi, Clo):
@@ -265,8 +276,8 @@ def _jk_refined_packed(Bp, f2p, fpk, dupl, Cahi, Calo, Cbhi, Cblo,
         return (jh, jl, kah, kal, kbh, kbl)
 
     def body(i, carry):
-        Bc = jax.lax.dynamic_slice_in_dim(Bp, i * aux_chunk, aux_chunk, 0)
-        return body_chunk(Bc, carry)
+        Bc = jax.lax.dynamic_slice_in_dim(Bp, i * aux_chunk, aux_chunk, 1)
+        return body_chunk(Bc.T, carry)
 
     zj = jnp.zeros((npair,), jnp.float32)
     z = jnp.zeros((nao, nao), jnp.float32)
@@ -275,8 +286,8 @@ def _jk_refined_packed(Bp, f2p, fpk, dupl, Cahi, Calo, Cbhi, Cblo,
     if nc > 0:
         carry = jax.lax.fori_loop(0, nc, body, carry)
     if naux - nc * aux_chunk:
-        Bc = jax.lax.slice_in_dim(Bp, nc * aux_chunk, naux, axis=0)
-        carry = body_chunk(Bc, carry)
+        Bc = jax.lax.slice_in_dim(Bp, nc * aux_chunk, naux, axis=1)
+        carry = body_chunk(Bc.T, carry)
     (jh, jl, kah, kal, kbh, kbl) = carry
     Jh = jnp.take(jh, f2p).reshape(nao, nao)
     Jl = jnp.take(jl, f2p).reshape(nao, nao)
