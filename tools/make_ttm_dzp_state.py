@@ -31,10 +31,12 @@ spin-adapted XSF-TDA at production scale).  ``basis`` defaults to dzp.
 
 from __future__ import annotations
 
+import os
 import pathlib
 import sys
 import time
 
+os.environ.setdefault("XTDDFT_PROGRESS", "1")  # streaming-loop liveness
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 ROOT = pathlib.Path(__file__).resolve().parents[1]

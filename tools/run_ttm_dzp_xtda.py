@@ -27,10 +27,12 @@ Run:  python tools/run_ttm_dzp_xtda.py
 from __future__ import annotations
 
 import json
+import os
 import pathlib
 import sys
 import time
 
+os.environ.setdefault("XTDDFT_PROGRESS", "1")  # streaming-loop liveness
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 ROOT = pathlib.Path(__file__).resolve().parents[1]

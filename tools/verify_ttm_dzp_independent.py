@@ -37,6 +37,7 @@ import sys
 import time
 
 os.environ.setdefault("XTDDFT_PLATFORM", "cpu")  # host f64 throughout
+os.environ.setdefault("XTDDFT_PROGRESS", "1")  # streaming-loop liveness
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
@@ -122,63 +123,85 @@ def main():
     env.set_df_j3c(j3c)
     env._df_meig_cache = {0.0: (w, U)}
 
-    # ---- (a) one-shot host-f64 E(D) -----------------------------------
-    t0 = time.time()
-    e_host, parts = energy_of_density(mf, j3c, w, U)
-    de_scf = abs(e_host - float(mf.e_tot))
-    print(f"(a) host-f64 E(D) = {e_host:.8f}  ckpt e_scf = "
-          f"{mf.e_tot:.8f}  |dE| = {de_scf:.2e} Ha  "
-          f"({time.time()-t0:.0f}s)", flush=True)
-
-    # ---- (b) Koopmans-seeded host-f64 Davidson ------------------------
-    t0 = time.time()
-    fhf = np.load(CACHE / f"{TAG}_fockhf.npy")
-    ref = make_reference(mf, fock_hf_mo=(fhf[0], fhf[1]))
-    _, data64 = build_production_state(ref, cache=CACHE, tag=TAG,
-                                       want_f64=True)
-    op64 = xtda_sigma_df(data64)
-    print(f"f64 twin operator: {time.time()-t0:.0f}s", flush=True)
-    t0 = time.time()
-    e64, v64, conv = davidson(
-        op64.matvec, op64.hdiag, nroots=NROOTS,
-        init_guess=op64.init_guess(NROOTS), tol=1e-6, pick_positive=True)
-    e64_ev = np.asarray(e64) * units.HA2EV
-    e_gold = np.asarray(golden["e_refined_ev"])[:NROOTS]
-    dev_ev = float(np.abs(e64_ev - e_gold).max())
-    print(f"(b) independent f64 Davidson ({time.time()-t0:.0f}s, "
-          f"nconv={int(np.sum(conv))}/{NROOTS}):", flush=True)
-    print("    e64 =", np.round(e64_ev, 6), flush=True)
-    print(f"    max|dev| vs golden e_refined_ev = {dev_ev*1000:.4f} meV",
-          flush=True)
-
-    # ---- (c) sTDA (ERI-free semiempirical path) -----------------------
-    t0 = time.time()
-    from xtddft_tpu.stda import STDA
-
-    rs = STDA(mf, Emax=6.0).kernel()
-    stda_e1 = float(np.asarray(rs.e_eV)[0])
-    print(f"(c) sTDA D1 = {stda_e1:.4f} eV (golden D1 = "
-          f"{e_gold[0]:.4f} eV)  ({time.time()-t0:.0f}s)", flush=True)
-
-    out = {
+    # each check costs tens of minutes on this 1-core host, so the tool
+    # is RESUMABLE: partial results land in a .partial.json after every
+    # step and completed steps are skipped on re-run (the r5 first run
+    # lost (a)+(b) to an end-of-round kill because it only wrote at exit)
+    part_p = DATA / f"independent_{TAG}.partial.json"
+    out = json.loads(part_p.read_text()) if part_p.exists() else {
         "tag": TAG,
         "molecule": GEOM,
         "nroots": NROOTS,
         "e_scf_ckpt": float(mf.e_tot),
-        "e_scf_host_f64": float(e_host),
-        "delta_e_scf_ha": float(de_scf),
-        "energy_parts": parts,
-        "dav_e_ev": e64_ev.tolist(),
-        "dav_nconv": int(np.sum(conv)),
-        "golden_e_refined_ev": e_gold.tolist(),
-        "max_dev_vs_golden_ev": dev_ev,
-        "stda_e1_ev": stda_e1,
         "path": ("raw cached j3c + metric -> host-f64 quadratic-form "
                  "E(D); Koopmans-seeded host-f64 Davidson on the f64 "
                  "twin; ERI-free sTDA"),
     }
+
+    def save_partial():
+        part_p.write_text(json.dumps(out, indent=1))
+
+    # ---- (a) one-shot host-f64 E(D) -----------------------------------
+    if "e_scf_host_f64" in out:
+        print("(a) cached:", out["delta_e_scf_ha"], flush=True)
+    else:
+        t0 = time.time()
+        e_host, parts = energy_of_density(mf, j3c, w, U)
+        de_scf = abs(e_host - float(mf.e_tot))
+        print(f"(a) host-f64 E(D) = {e_host:.8f}  ckpt e_scf = "
+              f"{mf.e_tot:.8f}  |dE| = {de_scf:.2e} Ha  "
+              f"({time.time()-t0:.0f}s)", flush=True)
+        out.update(e_scf_host_f64=float(e_host),
+                   delta_e_scf_ha=float(de_scf), energy_parts=parts)
+        save_partial()
+
+    e_gold = np.asarray(golden["e_refined_ev"])[:NROOTS]
+
+    # ---- (b) Koopmans-seeded host-f64 Davidson ------------------------
+    if "dav_e_ev" in out:
+        print("(b) cached:", out["max_dev_vs_golden_ev"], flush=True)
+    else:
+        t0 = time.time()
+        fhf = np.load(CACHE / f"{TAG}_fockhf.npy")
+        ref = make_reference(mf, fock_hf_mo=(fhf[0], fhf[1]))
+        _, data64 = build_production_state(ref, cache=CACHE, tag=TAG,
+                                           want_f64=True)
+        op64 = xtda_sigma_df(data64)
+        print(f"f64 twin operator: {time.time()-t0:.0f}s", flush=True)
+        t0 = time.time()
+        # tol=1e-5 on the residual norm: Ritz energies converge as
+        # residual^2/gap (~1e-9 Ha here), far inside the meV assertion
+        e64, v64, conv = davidson(
+            op64.matvec, op64.hdiag, nroots=NROOTS,
+            init_guess=op64.init_guess(NROOTS), tol=1e-5,
+            pick_positive=True)
+        e64_ev = np.asarray(e64) * units.HA2EV
+        dev_ev = float(np.abs(e64_ev - e_gold).max())
+        print(f"(b) independent f64 Davidson ({time.time()-t0:.0f}s, "
+              f"nconv={int(np.sum(conv))}/{NROOTS}):", flush=True)
+        print("    e64 =", np.round(e64_ev, 6), flush=True)
+        print(f"    max|dev| vs golden e_refined_ev = "
+              f"{dev_ev*1000:.4f} meV", flush=True)
+        out.update(dav_e_ev=e64_ev.tolist(), dav_nconv=int(np.sum(conv)),
+                   golden_e_refined_ev=e_gold.tolist(),
+                   max_dev_vs_golden_ev=dev_ev)
+        save_partial()
+
+    # ---- (c) sTDA (ERI-free semiempirical path) -----------------------
+    if "stda_e1_ev" not in out:
+        t0 = time.time()
+        from xtddft_tpu.stda import STDA
+
+        rs = STDA(mf, Emax=6.0).kernel()
+        stda_e1 = float(np.asarray(rs.e_eV)[0])
+        print(f"(c) sTDA D1 = {stda_e1:.4f} eV (golden D1 = "
+              f"{e_gold[0]:.4f} eV)  ({time.time()-t0:.0f}s)", flush=True)
+        out["stda_e1_ev"] = stda_e1
+        save_partial()
+
     p = DATA / f"independent_{TAG}.json"
     p.write_text(json.dumps(out, indent=1))
+    part_p.unlink(missing_ok=True)
     print("wrote", p, flush=True)
 
 

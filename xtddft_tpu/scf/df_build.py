@@ -31,6 +31,7 @@ buffers (XLA updates in place — peak HBM is B itself plus one block).
 from __future__ import annotations
 
 import functools
+import time as _time
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +39,30 @@ import numpy as np
 
 from xtddft_tpu.utils.dsmat import (eft_matmul_small, ew_mul, split_f64,
                                     ts_matmul)
+
+
+def _progress(tag: str, done: int, total: int, t0: float):
+    """Opt-in liveness line for the multi-GB streaming loops.
+
+    The r5 862-AO phase-b sat 2 h inside the packed dressing loop with
+    zero output — on a tunneled chip whose h2d throughput varies by an
+    order of magnitude, every streaming loop must be able to show it is
+    alive.  Enabled by XTDDFT_PROGRESS=1 (the production tools set it);
+    prints at most every 30 s."""
+    import os
+    import time
+
+    if not os.environ.get("XTDDFT_PROGRESS"):
+        return
+    now = time.time()
+    last = getattr(_progress, "_last", 0.0)
+    if now - last < 30.0 and done < total:
+        return
+    _progress._last = now
+    el = now - t0
+    eta = el / max(done, 1) * (total - done)
+    print(f"    {tag}: {done}/{total}  {el:.0f}s elapsed, ~{eta:.0f}s left",
+          flush=True)
 
 
 def retry_oom(fn, attempts: int = 10, wait: float = 15.0):
@@ -255,7 +280,9 @@ def build_b_device(metric_eig, j3c: np.ndarray,
                                       col_chunk, tile), None
     Bhi = jnp.zeros((naux, ncol), jnp.float32)
     Blo = jnp.zeros((naux, ncol), jnp.float32) if keep_lo else None
+    t0 = _time.time()
     for off in range(0, ncol, col_chunk):
+        _progress("dress B", off, ncol, t0)
         blk = j2[:, off:off + col_chunk]
         cs = _pow2_colscale(blk)
         bh, bl = _split_dev(blk / cs[None, :])  # exact division
@@ -298,7 +325,9 @@ def _build_b_device_packed(j2, uh, ul, sh, sl, nnull, col_chunk, tile):
     npair = flat_pack.size
     Bp = jnp.zeros((npair, naux), jnp.float32)
     out_off = 0
+    t0 = _time.time()
     for off in range(0, nao * nao, col_chunk):
+        _progress("dress packed B", off, nao * nao, t0)
         hi = min(off + col_chunk, nao * nao)
         lo_i = np.searchsorted(flat_pack, off)
         hi_i = np.searchsorted(flat_pack, hi)
@@ -370,7 +399,9 @@ def build_bmo_device(metric_eig, j3c: np.ndarray, C: np.ndarray,
         return Th, Tl
 
     off = 0
+    t0 = _time.time()
     while off < naux:
+        _progress("stream j3c->MO", off, naux, t0)
         q = min(aux_chunk, naux - off)
         bh, bl = _split_dev(j3c[off:off + q])
         Thi, Tlo = _acc(Thi, Tlo, bh, bl, jnp.int32(off), tile=tile)
@@ -398,12 +429,14 @@ def build_bmo_device(metric_eig, j3c: np.ndarray, C: np.ndarray,
 
     ncol = nmo * nmo
     off = 0
+    t0 = _time.time()
     while off < ncol:
         cc = min(col_chunk, ncol - off)
         Thi, Tlo = _dress_cols(Thi, Tlo, jnp.int32(off), cc=cc,
                                nnull=nnull, tile=tile)
         jax.block_until_ready(Thi)
         off += cc
+        _progress("dress MO cols", off, ncol, t0)
     return Thi.reshape(naux, nmo, nmo), Tlo.reshape(naux, nmo, nmo)
 
 
@@ -451,7 +484,9 @@ def build_bmo_device_packed(metric_eig, j3c: np.ndarray, C: np.ndarray,
         return Th, Tl
 
     off = 0
+    t0 = _time.time()
     while off < naux:
+        _progress("stream j3c->MO", off, naux, t0)
         q = min(aux_chunk, naux - off)
         bh, bl = _split_dev(j3c[off:off + q])
         Thi, Tlo = _acc(Thi, Tlo, bh, bl, jnp.int32(off), tile=tile)
@@ -478,12 +513,14 @@ def build_bmo_device_packed(metric_eig, j3c: np.ndarray, C: np.ndarray,
         return Th, Tl
 
     off = 0
+    t0 = _time.time()
     while off < npair:
         cc = min(col_chunk, npair - off)
         Thi, Tlo = _dress_cols(Thi, Tlo, jnp.int32(off), cc=cc,
                                nnull=nnull, tile=tile)
         jax.block_until_ready(Thi)
         off += cc
+        _progress("dress MO cols", off, npair, t0)
     return Thi, Tlo
 
 
@@ -561,7 +598,9 @@ def build_bov_device(metric_eig, j3c: np.ndarray,
 
     # two compiled shapes at most: full chunks + one remainder
     off = 0
+    t0 = _time.time()
     while off < naux:
+        _progress("stream j3c->ov", off, naux, t0)
         q = min(aux_chunk, naux - off)
         bh, bl = _split_dev(j3c[off:off + q])
         Thi, Tlo = _acc(Thi, Tlo, bh, bl, jnp.int32(off))
