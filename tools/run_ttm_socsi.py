@@ -76,6 +76,10 @@ def main():
         # SOC-state oscillator strengths from the lowest SOC state
         nmax = min(24, si.result.eso.size)
         osc = [float(si.osc_strength(0, j)) for j in range(1, nmax)]
+    # scalar (SOC-free) manifold energies: the test gates that SOC only
+    # perturbs these at the light-element (Cl) cm^-1 scale
+    scalar_ev = {k: [float(e) * units.HA2EV for e, _ in v]
+                 for k, v in si.states.items()}
     out = {
         "molecule": "ttm_vacuum",
         "basis": "sto-3g",
@@ -85,6 +89,7 @@ def main():
         "e_scf": float(mf.e_tot),
         "nao": int(mf.env.nao),
         "eso_cm": [float(x) for x in e_cm[:24]],
+        "e_scalar_ev": scalar_ev,
         "osc": osc,
         "t_si_s": round(t_si, 1),
     }
